@@ -1,0 +1,39 @@
+"""Example likelihood zoo.
+
+JAX-native re-implementations of the reference's analytic test problems
+(``likelihoods/examples/*.f90``).  Each factory returns a traceable
+``loglikelihood(theta) -> logL`` or ``-> (logL, phi)`` suitable for the
+batched device engine; all are exercised by the ini-file suite.
+"""
+
+from .examples import (
+    eggbox,
+    gaussian,
+    gaussian_shell,
+    gaussian_shells,
+    half_gaussian,
+    himmelblau,
+    pyramidal,
+    random_gaussian,
+    rastrigin,
+    rosenbrock,
+    twin_gaussian,
+    get_likelihood,
+    LIKELIHOODS,
+)
+
+__all__ = [
+    "eggbox",
+    "gaussian",
+    "gaussian_shell",
+    "gaussian_shells",
+    "half_gaussian",
+    "himmelblau",
+    "pyramidal",
+    "random_gaussian",
+    "rastrigin",
+    "rosenbrock",
+    "twin_gaussian",
+    "get_likelihood",
+    "LIKELIHOODS",
+]

@@ -1,0 +1,91 @@
+"""Whitened chord-direction generation for the slice-sampling engine.
+
+TPU-native re-expression of the reference direction machinery
+(``src/polychord/chordal_sampling.f90:94-145`` +
+``src/polychord/random_utils.F90:381-437``):
+
+* per speed-grade g, directions span the subspace of dimensions
+  [start(g), nDims) (its own block plus all faster blocks), drawn as columns of
+  stacked Haar-random orthonormal bases so that every ``grade_nDims`` repeats
+  span the whole subspace;
+* the ``R = sum(num_repeats)`` slots are shuffled, keeping slot 0 on the first
+  slow-grade direction (reference keeps the first evaluation slow);
+* each direction is whitened by the cluster Cholesky L (lower-triangular, so
+  slow coordinates stay untouched for fast-grade directions), normalised, and
+  the initial slice width is ``w = 3 * |L n̂|``
+  (``chordal_sampling.f90:73-82``).
+
+Everything is generated for all B chains at once with per-chain fold_in keys,
+so results are independent of how the chain batch is sharded across devices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _haar_bases(key, dim: int, count: int) -> jnp.ndarray:
+    """``count`` columns drawn from ceil(count/dim) stacked Haar orthonormal
+    bases of R^dim (equivalent of ``random_orthonormal_bases``)."""
+    n_bases = -(-count // dim)  # ceil
+    gauss = jax.random.normal(key, (n_bases, dim, dim))
+    q, r = jnp.linalg.qr(gauss)
+    # Sign-correct so columns are Haar distributed.
+    sign = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+    q = q * jnp.where(sign == 0, 1.0, sign)[:, None, :]
+    cols = jnp.swapaxes(q, -1, -2).reshape(n_bases * dim, dim)  # rows = directions
+    return cols[:count]  # (count, dim)
+
+
+@functools.partial(jax.jit, static_argnames=("grade_dims", "num_repeats", "n_dims"))
+def make_directions(
+    chain_keys,  # (B,) batch of per-chain PRNG keys
+    cholesky: jnp.ndarray,  # (B, D, D) per-chain cluster Cholesky
+    *,
+    grade_dims: Tuple[int, ...],
+    num_repeats: Tuple[int, ...],
+    n_dims: int,
+):
+    """Generate whitened slice directions for a batch of chains.
+
+    Returns (nhats (B,R,D) unit directions in cube space, w (B,R) initial
+    widths, speeds (B,R) int32 grade index of each slot).
+    """
+    R = int(sum(num_repeats))
+
+    def per_chain(chain_key, L):
+        blocks = []
+        speed_blocks = []
+        keys = jax.random.split(chain_key, len(num_repeats) + 1)
+        for g, reps in enumerate(num_repeats):
+            start = int(sum(grade_dims[:g]))
+            sub = n_dims - start  # grade spans [start, nDims)
+            dirs = _haar_bases(keys[g], sub, reps)  # (reps, sub)
+            full = jnp.zeros((reps, n_dims)).at[:, start:].set(dirs)
+            blocks.append(full)
+            speed_blocks.append(jnp.full((reps,), g, dtype=jnp.int32))
+        nhats = jnp.concatenate(blocks, axis=0)  # (R, D)
+        speeds = jnp.concatenate(speed_blocks, axis=0)  # (R,)
+
+        # Shuffle slots 1..R-1, keeping the first slot slow
+        # (chordal_sampling.f90:132-139).
+        if R > 1:
+            perm_tail = jax.random.permutation(keys[-1], R - 1) + 1
+            perm = jnp.concatenate([jnp.zeros((1,), dtype=perm_tail.dtype), perm_tail])
+            nhats = nhats[perm]
+            speeds = speeds[perm]
+
+        # Whiten: chord direction in cube space is L @ n̂; initial width is
+        # 3x its length (chordal_sampling.f90:73-82).
+        whitened = nhats @ L.T  # (R, D) rows = L @ nhat
+        norms = jnp.sqrt(jnp.sum(whitened * whitened, axis=1))
+        safe = jnp.maximum(norms, 1e-300)
+        unit = whitened / safe[:, None]
+        w = 3.0 * norms
+        return unit, w, speeds
+
+    return jax.vmap(per_chain)(chain_keys, cholesky)

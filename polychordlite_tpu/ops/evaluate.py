@@ -1,0 +1,131 @@
+"""Batched point evaluation: cube -> (theta, phi, logL).
+
+TPU-native equivalent of the reference ``calculate_point``
+(``src/polychord/calculate.f90:6-50``): points outside the unit hypercube are
+assigned ``logL = LOG_ZERO`` without calling the likelihood, physical points
+get ``theta = prior(cube)`` and ``logL, phi = loglikelihood(theta)``.
+
+Two paths share one interface:
+
+* **traced path** — prior and likelihood are JAX-traceable; they are vmapped
+  over the chain batch so every evaluation in the slice engine's inner loop is
+  a single fused (B, D) device computation.
+* **callback path** — arbitrary Python/numpy likelihoods (the reference's FFI
+  trampoline analogue, ``interfaces.F90:438-457``) are invoked on the host via
+  ``jax.pure_callback`` at batch granularity.  This keeps the engine jitted
+  while supporting non-JAX models; it is the slow-likelihood compatibility
+  mode, where callback overhead is negligible by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .logspace import LOG_ZERO
+
+
+def _normalise_like_output(out, n_derived: int):
+    """Accept the reference's tuple-or-scalar likelihood return convention
+    (``pypolychord/polychord.py:581-587``)."""
+    if isinstance(out, tuple):
+        logL, phi = out
+        phi = jnp.atleast_1d(jnp.asarray(phi, dtype=jnp.float32))
+    else:
+        logL = out
+        phi = jnp.zeros((n_derived,), dtype=jnp.float32)
+    return jnp.asarray(logL, dtype=jnp.float32), phi.reshape((n_derived,))
+
+
+def is_traceable(fn: Callable, example_shape) -> bool:
+    """True if ``fn`` can be traced by JAX on an abstract input."""
+    try:
+        jax.eval_shape(fn, jax.ShapeDtypeStruct(example_shape, jnp.float32))
+        return True
+    except Exception:
+        return False
+
+
+def make_batched_calculator(
+    prior_fn: Callable,
+    loglike_fn: Callable,
+    n_dims: int,
+    n_derived: int,
+    logzero: float = LOG_ZERO,
+    force_callback: bool = False,
+):
+    """Build ``calc(cube_batch) -> (theta, phi, logL)`` with calculate_point
+    semantics, choosing the traced or host-callback path automatically."""
+
+    n_phi = max(n_derived, 1)  # keep a non-empty trailing axis for TPU layout
+
+    use_callback = force_callback
+    if not use_callback:
+
+        def _probe(theta):
+            return _normalise_like_output(loglike_fn(theta), n_phi)
+
+        use_callback = not (
+            is_traceable(prior_fn, (n_dims,)) and is_traceable(_probe, (n_dims,))
+        )
+
+    if not use_callback:
+
+        def _single(cube):
+            theta = jnp.asarray(prior_fn(cube), dtype=jnp.float32)
+            logL, phi = _normalise_like_output(loglike_fn(theta), n_phi)
+            return theta, phi, logL
+
+        raw_eval = jax.vmap(_single)
+    else:
+
+        def _host_eval(cube_np):
+            cube_np = np.asarray(cube_np, dtype=np.float64)
+            B = cube_np.shape[0]
+            thetas = np.zeros((B, n_dims), dtype=np.float32)
+            phis = np.zeros((B, n_phi), dtype=np.float32)
+            logLs = np.full((B,), logzero, dtype=np.float32)
+            for i in range(B):
+                theta = np.asarray(prior_fn(cube_np[i]), dtype=np.float64)
+                out = loglike_fn(theta)
+                if isinstance(out, tuple):
+                    logL, phi = out
+                    phi = np.atleast_1d(np.asarray(phi, dtype=np.float64))
+                else:
+                    logL, phi = out, np.zeros((n_phi,))
+                thetas[i] = theta
+                phis[i, : len(phi)] = phi[:n_phi]
+                logLs[i] = logL
+            return thetas, phis, logLs
+
+        def raw_eval(cube):
+            B = cube.shape[0]
+            shapes = (
+                jax.ShapeDtypeStruct((B, n_dims), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_phi), jnp.float32),
+                jax.ShapeDtypeStruct((B,), jnp.float32),
+            )
+            return jax.pure_callback(_host_eval, shapes, cube)
+
+    def calc_point_batch(cube):
+        """(B, D) cube -> (theta (B,D), phi (B,n_phi), logL (B,)).
+
+        Out-of-cube points: theta = 0, logL = logzero, likelihood untouched
+        (calculate.f90:36-42). NaN likelihoods are treated as unphysical (the
+        sanitiser analogue of the reference debug FPE traps, SURVEY §5.3).
+        """
+        inside = jnp.all((cube >= 0.0) & (cube <= 1.0), axis=1)
+        cube_c = jnp.clip(cube, 0.0, 1.0)
+        theta, phi, logL = raw_eval(cube_c)
+        logL = jnp.where(jnp.isnan(logL), logzero, logL)
+        logL = jnp.where(inside, logL, logzero)
+        theta = jnp.where(inside[:, None], theta, 0.0)
+        phi = jnp.where(inside[:, None], phi, 0.0)
+        return theta, phi, logL
+
+    calc_point_batch.uses_callback = use_callback
+    calc_point_batch.n_phi = n_phi
+    return calc_point_batch

@@ -1,0 +1,139 @@
+"""Slice-engine correctness: uniformity within a known contour, determinism,
+nlike accounting (the slice-sampler oracle from SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from polychordlite_tpu.ops.evaluate import make_batched_calculator
+from polychordlite_tpu.ops.logspace import LOG_ZERO
+from polychordlite_tpu.ops.slice_kernel import EpochConfig, build_epoch_fn
+
+
+def _make_epoch(n_dims, num_repeats, loglike, n_phi=1):
+    calc = make_batched_calculator(
+        prior_fn=lambda c: c, loglike_fn=loglike, n_dims=n_dims, n_derived=n_phi
+    )
+    cfg = EpochConfig(
+        n_dims=n_dims,
+        n_phi=calc.n_phi,
+        grade_dims=(n_dims,),
+        num_repeats=(num_repeats,),
+    )
+    return jax.jit(build_epoch_fn(calc, cfg)), cfg
+
+
+_STATE = {}
+
+
+def _engine_state():
+    """Compile the engine once and share it across the test class."""
+    if _STATE:
+        return _STATE
+    D, R, B = 4, 16, 128
+
+    def loglike(theta):
+        return -jnp.sum((theta - 0.5) ** 2)
+
+    epoch, cfg = _make_epoch(D, R, loglike)
+    r0 = 0.3
+    bound = -(r0**2)
+    key = jax.random.PRNGKey(7)
+    seeds = jnp.full((B, D), 0.5)
+    bounds = jnp.full((B,), bound)
+    chol = jnp.broadcast_to(jnp.eye(D), (B, D, D))
+    valid = jnp.ones((B,), bool)
+    out = epoch(key, seeds, bounds, chol, valid)
+    _STATE.update(
+        D=D,
+        R=R,
+        B=B,
+        epoch=epoch,
+        cfg=cfg,
+        r0=r0,
+        bound=bound,
+        key=key,
+        seeds=seeds,
+        bounds=bounds,
+        chol=chol,
+        valid=valid,
+        out=out,
+    )
+    return _STATE
+
+
+class TestSliceEngine:
+    def setup_method(self):
+        for k, v in _engine_state().items():
+            setattr(self, k, v)
+
+    def test_all_babies_inside_contour(self):
+        logL = np.asarray(self.out[3])
+        assert logL.shape == (self.B, self.R)
+        assert np.all(logL >= self.bound - 1e-5)
+
+    def test_babies_uniform_in_ball(self):
+        # For points uniform in a D-ball of radius r0: E[r^2] = r0^2 * D/(D+2)
+        cube = np.asarray(self.out[0])  # (B, R, D)
+        last = cube[:, -1, :]  # final baby of each chain (the new live point)
+        r2 = ((last - 0.5) ** 2).sum(-1)
+        expect = self.r0**2 * self.D / (self.D + 2)
+        se = np.std(r2) / np.sqrt(self.B)
+        assert abs(r2.mean() - expect) < 4 * se + 1e-4
+        # u = (r/r0)^D should be Uniform(0,1): check first and second moments
+        u = (np.sqrt(r2) / self.r0) ** self.D
+        assert abs(u.mean() - 0.5) < 4 * (0.29 / np.sqrt(self.B))
+
+    def test_deterministic(self):
+        out2 = self.epoch(self.key, self.seeds, self.bounds, self.chol, self.valid)
+        for a, b in zip(self.out, out2):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_nlike_positive_and_bounded(self):
+        nlike = np.asarray(self.out[4])  # (B, n_grades)
+        assert nlike.shape == (self.B, 1)
+        assert np.all(nlike >= self.R)  # at least one eval per repeat
+
+    def test_invalid_lanes_skipped(self):
+        valid = self.valid.at[0].set(False)
+        out = self.epoch(self.key, self.seeds, self.bounds, self.chol, valid)
+        logL = np.asarray(out[3])
+        nlike = np.asarray(out[4])
+        assert np.all(logL[0] == LOG_ZERO)
+        assert nlike[0].sum() == 0
+        assert np.all(logL[1:] >= self.bound - 1e-5)
+
+    def test_theta_and_derived_recorded(self):
+        cube = np.asarray(self.out[0])
+        theta = np.asarray(self.out[1])
+        assert np.allclose(cube, theta, atol=1e-6)  # identity prior
+
+    def test_chain_moves(self):
+        cube = np.asarray(self.out[0])
+        # consecutive babies differ (the chain actually moves)
+        d = np.abs(cube[:, 1:] - cube[:, :-1]).sum(-1)
+        assert np.all(d > 0)
+
+
+class TestHardWall:
+    def test_logzero_region_is_excluded(self):
+        """Points with logL <= logzero act as hard walls
+        (chordal_sampling.f90:223,232,253)."""
+        D, R, B = 2, 8, 64
+
+        def loglike(theta):
+            # forbidden half-plane theta_0 > 0.7
+            return jnp.where(theta[0] > 0.7, LOG_ZERO, -jnp.sum((theta - 0.5) ** 2))
+
+        epoch, _ = _make_epoch(D, R, loglike, n_phi=1)
+        key = jax.random.PRNGKey(3)
+        seeds = jnp.full((B, D), 0.5)
+        bounds = jnp.full((B,), -0.2**2 * 10)  # generous bound
+        chol = jnp.broadcast_to(jnp.eye(D), (B, D, D))
+        out = epoch(key, seeds, bounds, chol, jnp.ones((B,), bool))
+        cube = np.asarray(out[0])
+        logL = np.asarray(out[3])
+        ok = logL > LOG_ZERO
+        assert ok.any()
+        assert np.all(cube[..., 0][ok] <= 0.7 + 1e-6)
