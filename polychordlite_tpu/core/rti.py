@@ -1,0 +1,683 @@
+"""Run-time information: the sampler's mutable state and the exact
+evidence-accumulation recurrences.
+
+This is the host-side administrator state of the TPU design (SURVEY §5.8): the
+device engine generates batches of candidate chains; this module does the
+O(ndead) float64 bookkeeping that the reference performs on MPI rank 0 —
+semantics follow ``src/polychord/run_time_info.f90`` function-for-function
+(citations inline), with the reference's ragged per-cluster Fortran arrays
+replaced by per-cluster numpy arrays (points are rows).
+
+The second-moment bookkeeping tracks, in log space:
+  logZ    = log <Z>          logZ2     = log <Z^2>
+  logXp   = log <X_p>        logZXp    = log <Z X_p>
+  logZp   = log <Z_p>        logZp2    = log <Z_p^2>
+  logZpXp = log <Z_p X_p>    logXpXq   = log <X_p X_q>
+updated with the exact deletion recurrences of ``update_evidence``
+(run_time_info.f90:211-296), giving the unbiased log-normal evidence
+estimate logZ = 2 log<Z> - 0.5 log<Z^2> (:652-678).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from ..ops.linalg import calc_cholesky_np, calc_covmat_np
+from ..ops.logspace import logaddexp, logincexp, logsumexp
+from ..settings import PolyChordSettings
+
+HUGE = np.finfo(np.float64).max
+
+
+class RunTimeInfo:
+    """Everything needed to resume a run (run_time_info.f90:5-107)."""
+
+    def __init__(self, settings: PolyChordSettings, n_grades: int):
+        s = settings
+        self.settings = s
+        self.n_grades = n_grades
+
+        # active clusters: parallel per-cluster lists
+        self.live: List[np.ndarray] = [np.zeros((0, s.nTotal))]
+        self.phantom: List[np.ndarray] = [np.zeros((0, s.nTotal))]
+        self.posterior_stack: List[np.ndarray] = [np.zeros((0, s.nposterior))]
+        self.posterior: List[np.ndarray] = [np.zeros((0, s.nposterior))]
+        self.equals: List[np.ndarray] = [np.zeros((0, s.np_))]
+
+        # global posterior arrays
+        self.posterior_global = np.zeros((0, s.nposterior))
+        self.equals_global = np.zeros((0, s.np_))
+
+        # dead points (pure NS samples) + their volume logweights
+        self.dead: List[np.ndarray] = []
+        self.logweights: List[float] = []
+
+        # per-cluster covariances / cholesky
+        self.covmat = np.repeat(np.eye(s.nDims)[None], 1, axis=0)
+        self.cholesky = np.repeat(np.eye(s.nDims)[None], 1, axis=0)
+
+        # evidence bookkeeping (all log-domain, float64)
+        z = s.logzero
+        self.logZ = z
+        self.logZ2 = z
+        self.logXp = np.zeros(1)
+        self.logX_last_update = 0.0
+        self.logZXp = np.full(1, z)
+        self.logZp = np.full(1, z)
+        self.logZp2 = np.full(1, z)
+        self.logZpXp = np.full(1, z)
+        self.logXpXq = np.zeros((1, 1))
+
+        # per-cluster min-likelihood bookkeeping
+        self.logLp = np.full(1, z)
+        self.i = np.zeros(1, dtype=int) - 1
+
+        # max log weights for equal-weight resampling
+        self.maxlogweight = np.full(1, z)
+        self.maxlogweight_global = z
+
+        # dead (retired) clusters
+        self.posterior_dead: List[np.ndarray] = []
+        self.equals_dead: List[np.ndarray] = []
+        self.logZp_dead: List[float] = []
+        self.logZp2_dead: List[float] = []
+        self.maxlogweight_dead: List[float] = []
+
+        self.ndead = 0
+        self.nlike = np.zeros(n_grades, dtype=np.int64)
+        self.num_repeats: Optional[np.ndarray] = None  # per-grade, set at init
+        self.thin_posterior = 0.0
+
+        # epoch counter: incremented on any cluster reorganisation so that
+        # in-flight batched babies with stale cluster ids are discarded
+        # (the MPI administrator_epoch, nested_sampling.F90:341,357,364)
+        self.epoch = 0
+
+    # ------------------------------------------------------------------
+    @property
+    def ncluster(self) -> int:
+        return len(self.live)
+
+    @property
+    def ncluster_dead(self) -> int:
+        return len(self.logZp_dead)
+
+    @property
+    def nlive(self) -> np.ndarray:
+        return np.array([c.shape[0] for c in self.live], dtype=int)
+
+    @property
+    def nphantom(self) -> np.ndarray:
+        return np.array([c.shape[0] for c in self.phantom], dtype=int)
+
+    def total_nlive(self) -> int:
+        return int(sum(c.shape[0] for c in self.live))
+
+    def all_live(self) -> np.ndarray:
+        return (
+            np.concatenate(self.live, axis=0)
+            if self.live
+            else np.zeros((0, self.settings.nTotal))
+        )
+
+    def dead_array(self) -> np.ndarray:
+        return (
+            np.stack(self.dead)
+            if self.dead
+            else np.zeros((0, self.settings.nTotal))
+        )
+
+
+# ----------------------------------------------------------------------
+# Evidence recurrences
+# ----------------------------------------------------------------------
+
+
+def update_evidence(rti: RunTimeInfo, p: int) -> float:
+    """Delete the lowest point of cluster p from the evidence bookkeeping.
+
+    Exact port of the log-domain recurrences in run_time_info.f90:211-296:
+    with n = nlive(p) live points and logL the cluster's minimum
+    loglikelihood, the deleted point carries weight X_p/(n+1) and the
+    volume contracts by n/(n+1).  Returns the logweight of the deleted
+    point (excluding its likelihood factor).
+    """
+    log2 = math.log(2.0)
+    logL = float(rti.logLp[p])
+    n = rti.live[p].shape[0]
+    lognp = math.log(n)
+    lognp1 = math.log(n + 1.0)
+    lognp2 = math.log(n + 2.0)
+
+    logweight = rti.logXp[p] - lognp1
+
+    # global and local evidence means
+    rti.logZ = logincexp(np, rti.logZ, rti.logXp[p] + logL - lognp1)
+    rti.logZp[p] = logincexp(np, rti.logZp[p], rti.logXp[p] + logL - lognp1)
+    # local volume contraction
+    rti.logXp[p] = rti.logXp[p] + lognp - lognp1
+
+    # global evidence second moment
+    rti.logZ2 = logincexp(
+        np,
+        rti.logZ2,
+        log2 + rti.logZXp[p] + logL - lognp1,
+        log2 + rti.logXpXq[p, p] + 2 * logL - lognp1 - lognp2,
+    )
+
+    # global evidence-volume cross correlation, q = p
+    rti.logZXp[p] = rti.logZXp[p] + lognp - lognp1
+    rti.logZXp[p] = logincexp(
+        np, rti.logZXp[p], rti.logXpXq[p, p] + logL + lognp - lognp1 - lognp2
+    )
+    # ... and q != p
+    for q in range(rti.ncluster):
+        if q != p:
+            rti.logZXp[q] = logincexp(
+                np, rti.logZXp[q], rti.logXpXq[p, q] + logL - lognp1
+            )
+
+    # local evidence second moment
+    rti.logZp2[p] = logincexp(
+        np,
+        rti.logZp2[p],
+        log2 + rti.logZpXp[p] + logL - lognp1,
+        log2 + rti.logXpXq[p, p] + 2 * logL - lognp1 - lognp2,
+    )
+
+    # local evidence-volume cross correlation
+    rti.logZpXp[p] = rti.logZpXp[p] + lognp - lognp1
+    rti.logZpXp[p] = logincexp(
+        np, rti.logZpXp[p], rti.logXpXq[p, p] + logL + lognp - lognp1 - lognp2
+    )
+
+    # volume-volume cross correlations
+    rti.logXpXq[p, p] += lognp - lognp2
+    for q in range(rti.ncluster):
+        if q != p:
+            rti.logXpXq[p, q] += lognp - lognp1
+            rti.logXpXq[q, p] += lognp - lognp1
+
+    return float(logweight)
+
+
+def calculate_logZ_estimate(rti: RunTimeInfo):
+    """Unbiased log-normal estimates (run_time_info.f90:652-678):
+    logZ = 2 log<Z> - 0.5 log<Z^2>, var = log<Z^2> - 2 log<Z>."""
+    logZ = max(-HUGE, 2 * rti.logZ - 0.5 * rti.logZ2)
+    varlogZ = rti.logZ2 - 2 * rti.logZ
+    logZp = np.maximum(-HUGE, 2 * rti.logZp - 0.5 * rti.logZp2)
+    varlogZp = rti.logZp2 - 2 * rti.logZp
+    lzd = np.array(rti.logZp_dead)
+    lzd2 = np.array(rti.logZp2_dead)
+    logZp_dead = np.maximum(-HUGE, 2 * lzd - 0.5 * lzd2)
+    varlogZp_dead = lzd2 - 2 * lzd
+    return logZ, varlogZ, logZp, varlogZp, logZp_dead, varlogZp_dead
+
+
+def live_logZ(rti: RunTimeInfo) -> float:
+    """Evidence still held in the live points (run_time_info.f90:683-709)."""
+    s = rti.settings
+    total = s.logzero
+    for p in range(rti.ncluster):
+        n = rti.live[p].shape[0]
+        if n > 0:
+            total = logincexp(
+                np,
+                total,
+                logsumexp(np, rti.live[p][:, s.l0]) - math.log(n) + rti.logXp[p],
+            )
+    return float(total)
+
+
+# ----------------------------------------------------------------------
+# Point insertion / deletion
+# ----------------------------------------------------------------------
+
+
+def find_min_loglikelihoods(rti: RunTimeInfo) -> None:
+    """Per-cluster argmin of live logL (run_time_info.f90:883-909); empty
+    clusters get logLp = +huge so they are never selected for deletion."""
+    s = rti.settings
+    for p in range(rti.ncluster):
+        if rti.live[p].shape[0] == 0:
+            rti.i[p] = -1
+            rti.logLp[p] = HUGE
+        else:
+            idx = int(np.argmin(rti.live[p][:, s.l0]))
+            rti.i[p] = idx
+            rti.logLp[p] = rti.live[p][idx, s.l0]
+
+
+def identify_cluster(rti: RunTimeInfo, point: np.ndarray) -> int:
+    """Voronoi assignment: cluster of the nearest live point in cube space
+    (run_time_info.f90:913-949). Vectorised over all live points."""
+    if rti.ncluster == 1:
+        return 0
+    s = rti.settings
+    best_c, best_d = 0, np.inf
+    x = point[s.h]
+    for p in range(rti.ncluster):
+        if rti.live[p].shape[0] == 0:
+            continue
+        d = np.min(((rti.live[p][:, s.h] - x) ** 2).sum(axis=1))
+        if d < best_d:
+            best_d, best_c = d, p
+    return best_c
+
+
+def identify_clusters_batch(rti: RunTimeInfo, points: np.ndarray) -> np.ndarray:
+    """Vectorised ``identify_cluster`` for a batch of points (rows)."""
+    if rti.ncluster == 1:
+        return np.zeros(points.shape[0], dtype=int)
+    s = rti.settings
+    x = points[:, s.h]
+    best_d = np.full(points.shape[0], np.inf)
+    best_c = np.zeros(points.shape[0], dtype=int)
+    for p in range(rti.ncluster):
+        lp = rti.live[p]
+        if lp.shape[0] == 0:
+            continue
+        sq = np.einsum("ij,ij->i", lp[:, s.h], lp[:, s.h])
+        d = np.min(
+            sq[None, :] - 2.0 * x @ lp[:, s.h].T, axis=1
+        ) + np.einsum("ij,ij->i", x, x)
+        closer = d < best_d
+        best_d = np.where(closer, d, best_d)
+        best_c = np.where(closer, p, best_c)
+    return best_c
+
+
+def _posterior_point(
+    s: PolyChordSettings,
+    point: np.ndarray,
+    logweight: float,
+    evidence: float,
+    volume: float,
+) -> np.ndarray:
+    """[X, logL, w, Z, theta, phi] (calculate.f90:53-79)."""
+    pp = np.empty(s.nposterior)
+    pp[s.pos_X] = volume
+    pp[s.pos_l] = point[s.l0]
+    pp[s.pos_w] = logweight
+    pp[s.pos_Z] = evidence
+    pp[s.pos_pd] = point[s.pd]
+    return pp
+
+
+def delete_outermost_point(rti: RunTimeInfo) -> None:
+    """Delete the globally lowest live point: evidence update, dead-point
+    record, posterior-stack push (run_time_info.f90:789-817)."""
+    s = rti.settings
+    p = int(np.argmin(rti.logLp[: rti.ncluster]))
+    logweight = update_evidence(rti, p)
+    idx = int(rti.i[p])
+    deleted = rti.live[p][idx].copy()
+    rti.live[p] = np.delete(rti.live[p], idx, axis=0)
+    find_min_loglikelihoods(rti)
+    rti.dead.append(deleted)
+    rti.ndead += 1
+    rti.logweights.append(logweight)
+
+    pp = _posterior_point(
+        s, deleted, logweight, rti.logZ, logsumexp(np, rti.logXp)
+    )
+    rti.posterior_stack[p] = np.vstack([rti.posterior_stack[p], pp])
+    w = pp[s.pos_w] + pp[s.pos_l]
+    rti.maxlogweight[p] = max(rti.maxlogweight[p], w)
+    rti.maxlogweight_global = max(rti.maxlogweight_global, rti.maxlogweight[p])
+
+
+def replace_point(
+    rti: RunTimeInfo, baby_points: np.ndarray, cluster_add: int
+) -> bool:
+    """Try to insert a freshly generated chain into the live points
+    (run_time_info.f90:716-787).
+
+    ``baby_points`` is (R, nTotal); the first R-1 rows become phantom
+    candidates, the last row the live-point candidate.  A candidate is
+    accepted iff it is (1) above the *current* global contour min(logLp) and
+    (2) in the Voronoi cell of ``cluster_add``.  Respects the variable-nlive
+    schedule.  Returns True iff a live point was replaced.
+    """
+    s = rti.settings
+    logL = float(np.min(rti.logLp[: rti.ncluster]))
+
+    # phantom candidates
+    for i in range(baby_points.shape[0] - 1):
+        pt = baby_points[i]
+        if pt[s.l0] > logL:
+            if identify_cluster(rti, pt) == cluster_add:
+                rti.phantom[cluster_add] = np.vstack(
+                    [rti.phantom[cluster_add], pt]
+                )
+
+    # live-point candidate
+    pt = baby_points[-1].copy()
+    replaced = False
+    if pt[s.l0] > logL:
+        if identify_cluster(rti, pt) == cluster_add:
+            nlive_target = s.nlive_at(logL)
+            if rti.total_nlive() >= max(nlive_target, 1):
+                delete_outermost_point(rti)
+                replaced = True
+            if rti.total_nlive() < nlive_target:
+                rti.live[cluster_add] = np.vstack([rti.live[cluster_add], pt])
+                find_min_loglikelihoods(rti)
+    else:
+        # dead on arrival: recorded with zero weight
+        # (run_time_info.f90:781-785)
+        rti.dead.append(pt)
+        rti.ndead += 1
+        rti.logweights.append(s.logzero)
+    return replaced
+
+
+# ----------------------------------------------------------------------
+# Cluster management
+# ----------------------------------------------------------------------
+
+
+def add_cluster(
+    rti: RunTimeInfo, p: int, cluster_list: np.ndarray, num_new: int
+) -> None:
+    """Split cluster p into ``num_new`` clusters (run_time_info.f90:303-505).
+
+    New clusters are appended after the surviving old ones; volumes and all
+    evidence cross-correlations are partitioned in proportion to the number
+    of live+phantom points n_i each sub-cluster receives:
+        <X_i>     = <X_p> n_i / n
+        <X_i X_j> = <X_p^2> n_i n_j / n(n+1)            (i != j)
+        <X_i^2>   = <X_p^2> n_i (n_i+1) / n(n+1)
+    and similarly for Z-cross terms (:458-494).
+    """
+    s = rti.settings
+    old_live = rti.live[p]
+    old_posterior = rti.posterior[p]
+    old_equals = rti.equals[p]
+    old_maxlogweight = rti.maxlogweight[p]
+    all_old_phantoms = [ph.copy() for ph in rti.phantom]
+
+    logXp = rti.logXp[p]
+    logXp2 = rti.logXpXq[p, p]
+    logZp = rti.logZp[p]
+    logZp2 = rti.logZp2[p]
+    logZXp = rti.logZXp[p]
+    logZpXp = rti.logZpXp[p]
+    old_idx = [q for q in range(rti.ncluster) if q != p]
+    logXpXq_row = rti.logXpXq[p, old_idx]
+
+    n_old = len(old_idx)
+    n_total = n_old + num_new
+
+    # --- rebuild per-cluster stores: survivors first, then the new ones ----
+    def reorder(lst, new_value_fn):
+        return [lst[q] for q in old_idx] + [new_value_fn(k) for k in range(num_new)]
+
+    rti.live = reorder(rti.live, lambda k: old_live[cluster_list == k])
+    rti.phantom = reorder(
+        rti.phantom, lambda k: np.zeros((0, s.nTotal))
+    )
+    rti.posterior_stack = reorder(
+        rti.posterior_stack, lambda k: np.zeros((0, s.nposterior))
+    )
+    # posterior/equals of the split cluster are duplicated into every child
+    # (run_time_info.f90:433-441)
+    rti.posterior = reorder(rti.posterior, lambda k: old_posterior.copy())
+    rti.equals = reorder(rti.equals, lambda k: old_equals.copy())
+
+    rti.covmat = np.concatenate(
+        [rti.covmat[old_idx], np.repeat(rti.covmat[p][None], num_new, axis=0)]
+    )
+    rti.cholesky = np.concatenate(
+        [rti.cholesky[old_idx], np.repeat(rti.cholesky[p][None], num_new, axis=0)]
+    )
+
+    def expand(vec, fill):
+        return np.concatenate([vec[old_idx], np.full(num_new, fill)])
+
+    rti.logLp = expand(rti.logLp, HUGE)
+    rti.i = np.concatenate([rti.i[old_idx], np.full(num_new, -1, dtype=int)])
+    rti.maxlogweight = expand(rti.maxlogweight, old_maxlogweight)
+
+    find_min_loglikelihoods(rti)
+
+    # --- reassign ALL phantom points by Voronoi over the new live partition,
+    # dropping those below their new cluster's contour (:444-453) ----------
+    for ph in all_old_phantoms:
+        if ph.shape[0] == 0:
+            continue
+        js = identify_clusters_batch(rti, ph)
+        for j in range(rti.ncluster):
+            sel = (js == j) & (ph[:, s.l0] > rti.logLp[j])
+            if sel.any():
+                rti.phantom[j] = np.vstack([rti.phantom[j], ph[sel]])
+
+    # --- split the evidence bookkeeping (:458-494) -------------------------
+    new_sl = slice(n_old, n_total)
+    counts = np.array(
+        [
+            rti.live[n_old + k].shape[0] + rti.phantom[n_old + k].shape[0]
+            for k in range(num_new)
+        ],
+        dtype=float,
+    )
+    logni = np.log(np.maximum(counts, 1e-300))
+    logni1 = np.log(counts + 1.0)
+    logn = logsumexp(np, logni)
+    logn1 = logaddexp(np, logn, 0.0)
+
+    logXp_new = logXp + logni - logn
+    logZXp_new = logZXp + logni - logn
+    logZp_new = logZp + logni - logn
+    logZp2_new = logZp2 + logni + logni1 - logn - logn1
+    logZpXp_new = logZpXp + logni + logni1 - logn - logn1
+
+    rti.logXp = np.concatenate([rti.logXp[old_idx], logXp_new])
+    rti.logZXp = np.concatenate([rti.logZXp[old_idx], logZXp_new])
+    rti.logZp = np.concatenate([rti.logZp[old_idx], logZp_new])
+    rti.logZp2 = np.concatenate([rti.logZp2[old_idx], logZp2_new])
+    rti.logZpXp = np.concatenate([rti.logZpXp[old_idx], logZpXp_new])
+
+    new_XpXq = np.empty((n_total, n_total))
+    new_XpXq[:n_old, :n_old] = rti.logXpXq[np.ix_(old_idx, old_idx)]
+    cross = logXpXq_row[None, :] + logni[:, None] - logn  # (num_new, n_old)
+    new_XpXq[new_sl, :n_old] = cross
+    new_XpXq[:n_old, new_sl] = cross.T
+    block = logXp2 + logni[:, None] + logni[None, :] - logn - logn1
+    np.fill_diagonal(block, logXp2 + logni + logni1 - logn - logn1)
+    new_XpXq[new_sl, new_sl] = block
+    rti.logXpXq = new_XpXq
+
+    # reduce the logweighting of the duplicated posterior points by the
+    # evidence split factor (:499-503; literal reference behaviour — the
+    # adjustment lands on the logL column of `posterior` / the -2logL column
+    # of `equals`)
+    for k in range(num_new):
+        c = n_old + k
+        delta = rti.logZp[c] - logZp
+        if rti.equals[c].shape[0]:
+            rti.equals[c][:, s.p_2l] += delta
+        if rti.posterior[c].shape[0]:
+            rti.posterior[c][:, s.pos_l] += delta
+
+    rti.epoch += 1
+
+
+def delete_cluster(rti: RunTimeInfo) -> bool:
+    """Retire one empty cluster to the dead-cluster stores
+    (run_time_info.f90:507-598). Returns True if a cluster was deleted."""
+    s = rti.settings
+    nlives = rti.nlive
+    if not (nlives == 0).any():
+        return False
+
+    update_posteriors(rti)
+
+    p = int(np.flatnonzero(nlives == 0)[0])
+
+    rti.posterior_dead.append(rti.posterior[p])
+    rti.equals_dead.append(rti.equals[p])
+    rti.logZp_dead.append(float(rti.logZp[p]))
+    rti.logZp2_dead.append(float(rti.logZp2[p]))
+    rti.maxlogweight_dead.append(float(rti.maxlogweight[p]))
+
+    keep = [q for q in range(rti.ncluster) if q != p]
+    for name in ("live", "phantom", "posterior_stack", "posterior", "equals"):
+        setattr(rti, name, [getattr(rti, name)[q] for q in keep])
+    rti.covmat = rti.covmat[keep]
+    rti.cholesky = rti.cholesky[keep]
+    for name in ("logXp", "logZXp", "logZp", "logZp2", "logZpXp", "logLp", "i",
+                 "maxlogweight"):
+        setattr(rti, name, getattr(rti, name)[keep])
+    rti.logXpXq = rti.logXpXq[np.ix_(keep, keep)]
+
+    rti.epoch += 1
+    return True
+
+
+def calculate_covmats(rti: RunTimeInfo) -> None:
+    """Per-cluster covariance over live+phantom points and its Cholesky
+    (run_time_info.f90:601-641)."""
+    s = rti.settings
+    for p in range(rti.ncluster):
+        pts = np.vstack([rti.live[p][:, s.h], rti.phantom[p][:, s.h]])
+        if pts.shape[0] == 0:
+            continue
+        rti.covmat[p] = calc_covmat_np(pts)
+        rti.cholesky[p] = calc_cholesky_np(rti.covmat[p])
+
+
+# ----------------------------------------------------------------------
+# Posterior machinery
+# ----------------------------------------------------------------------
+
+
+def clean_phantoms(rti: RunTimeInfo, rng: np.random.Generator) -> None:
+    """Convert phantoms that have fallen below a recorded posterior-stack
+    contour into (thinned) posterior samples (run_time_info.f90:820-877)."""
+    s = rti.settings
+    for p in range(rti.ncluster):
+        stack = rti.posterior_stack[p]
+        n_stack0 = stack.shape[0]  # only match against pre-existing entries
+        ph = rti.phantom[p]
+        if ph.shape[0] == 0:
+            continue
+        keep = np.ones(ph.shape[0], dtype=bool)
+        new_rows = []
+        for k in range(ph.shape[0]):
+            if n_stack0 == 0:
+                continue
+            cand = stack[:n_stack0, s.pos_l] > ph[k, s.l0]
+            if not cand.any():
+                continue
+            # the stack entry with the smallest logL still above the phantom
+            masked = np.where(cand, stack[:n_stack0, s.pos_l], np.inf)
+            j = int(np.argmin(masked))
+            keep[k] = False
+            if (s.equals or s.posteriors) and (
+                rng.random() < rti.thin_posterior
+            ):
+                pp = _posterior_point(
+                    s,
+                    ph[k],
+                    stack[j, s.pos_w],
+                    stack[j, s.pos_Z],
+                    stack[j, s.pos_X],
+                )
+                new_rows.append(pp)
+                w = pp[s.pos_w] + pp[s.pos_l]
+                rti.maxlogweight[p] = max(rti.maxlogweight[p], w)
+                rti.maxlogweight_global = max(
+                    rti.maxlogweight_global, rti.maxlogweight[p]
+                )
+        rti.phantom[p] = ph[keep]
+        if new_rows:
+            rti.posterior_stack[p] = np.vstack([stack] + new_rows)
+
+
+def update_posteriors(rti: RunTimeInfo, rng: Optional[np.random.Generator] = None) -> None:
+    """Flush the posterior stacks into the weighted/equal-weight posterior
+    arrays with rejection resampling against the running max weight
+    (run_time_info.f90:955-1066)."""
+    s = rti.settings
+    if rng is None:
+        rng = rti_rng(rti)
+
+    clean_phantoms(rti, rng)
+
+    if s.equals:
+        # re-strip the global equal-weight samples against the new max weight
+        eg = rti.equals_global
+        if eg.shape[0]:
+            w = eg[:, s.p_w]
+            auto = w >= rti.maxlogweight_global
+            acc = rng.random(eg.shape[0]) < np.exp(
+                np.minimum(w - rti.maxlogweight_global, 0.0)
+            )
+            keep = auto | acc
+            eg = eg[keep]
+            eg[:, s.p_w] = np.where(
+                eg[:, s.p_w] < rti.maxlogweight_global,
+                rti.maxlogweight_global,
+                eg[:, s.p_w],
+            )
+            rti.equals_global = eg
+
+        if s.cluster_posteriors:
+            for p in range(rti.ncluster):
+                eq = rti.equals[p]
+                if not eq.shape[0]:
+                    continue
+                w = eq[:, s.p_w]
+                auto = w >= rti.maxlogweight[p]
+                acc = rng.random(eq.shape[0]) < np.exp(
+                    np.minimum(w - rti.maxlogweight[p], 0.0)
+                )
+                keep = auto | acc
+                eq = eq[keep]
+                eq[:, s.p_w] = np.where(
+                    eq[:, s.p_w] < rti.maxlogweight[p],
+                    rti.maxlogweight[p],
+                    eq[:, s.p_w],
+                )
+                rti.equals[p] = eq
+
+    # drain the stacks
+    for p in range(rti.ncluster):
+        stack = rti.posterior_stack[p]
+        for row in stack:
+            if s.equals:
+                logw = row[s.pos_w] + row[s.pos_l]
+                if rng.random() < math.exp(
+                    min(logw - rti.maxlogweight_global, 0.0)
+                ):
+                    ep = np.empty(s.np_)
+                    ep[s.p_w] = rti.maxlogweight_global
+                    ep[s.p_2l] = -2 * row[s.pos_l]
+                    ep[s.p_pd] = row[s.pos_pd]
+                    rti.equals_global = np.vstack([rti.equals_global, ep])
+                if s.cluster_posteriors:
+                    if rng.random() < math.exp(
+                        min(logw - rti.maxlogweight[p], 0.0)
+                    ):
+                        ep = np.empty(s.np_)
+                        ep[s.p_w] = rti.maxlogweight[p]
+                        ep[s.p_2l] = -2 * row[s.pos_l]
+                        ep[s.p_pd] = row[s.pos_pd]
+                        rti.equals[p] = np.vstack([rti.equals[p], ep])
+            if s.posteriors:
+                rti.posterior_global = np.vstack([rti.posterior_global, row])
+                if s.cluster_posteriors:
+                    rti.posterior[p] = np.vstack([rti.posterior[p], row])
+        rti.posterior_stack[p] = np.zeros((0, s.nposterior))
+
+
+def rti_rng(rti: RunTimeInfo) -> np.random.Generator:
+    """Host RNG attached lazily to the state (seeded by the driver)."""
+    if not hasattr(rti, "_rng"):
+        rti._rng = np.random.default_rng(0)
+    return rti._rng

@@ -1,0 +1,210 @@
+"""Run configuration.
+
+ONE config dataclass with the Python-surface defaults (the reference keeps
+three divergent default sets — Fortran ``settings.f90:13-147``, C++
+``c_interface.cpp:6-39``, Python ``polychord.py:522-558``; SURVEY §5.6 calls
+for unifying on the Python layer's).  Also computes the point-array index
+layout (``settings.f90:156-239``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import MISSING, dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .ops.logspace import LOG_ZERO
+
+
+@dataclass
+class PolyChordSettings:
+    """All options of a nested-sampling run.
+
+    Mirrors ``pypolychord.settings.PolyChordSettings`` (settings.py:176-218)
+    attribute-for-attribute, with the Python-layer defaults, plus TPU-engine
+    extras (``batch_size``, ``mesh_shape``).
+    """
+
+    nDims: int = 1
+    nDerived: int = 0
+    nlive: int = 500
+    num_repeats: int = -1  # default 5*nDims, resolved in finalise()
+    nprior: int = -1  # default nlive
+    nfail: int = -1  # default nlive
+    do_clustering: bool = True
+    feedback: int = 1
+    precision_criterion: float = 0.001
+    logzero: float = LOG_ZERO
+    max_ndead: int = -1
+    boost_posterior: float = 0.0
+    posteriors: bool = True
+    equals: bool = True
+    cluster_posteriors: bool = True
+    write_resume: bool = True
+    write_paramnames: bool = False
+    read_resume: bool = True
+    write_stats: bool = True
+    write_live: bool = True
+    write_dead: bool = True
+    write_prior: bool = True
+    maximise: bool = False
+    compression_factor: float = math.exp(-1.0)
+    synchronous: bool = True
+    base_dir: str = "chains"
+    file_root: str = "test"
+    cluster_dir: str = "clusters"
+    seed: int = -1
+    grade_dims: Optional[List[int]] = None
+    grade_frac: Optional[List[float]] = None
+    nlives: Dict[float, int] = field(default_factory=dict)
+    seed_point: Optional[Sequence[float]] = None
+    cube_samples: Optional[np.ndarray] = None
+    sub_clustering_dimensions: Optional[List[int]] = None
+
+    # --- TPU-engine extras -------------------------------------------------
+    #: chains generated per device epoch (the nursery width; generalises the
+    #: reference's synchronous nprocs-1, nested_sampling.F90:262-287).
+    #: <=0 -> auto (max(32, nlive//4) rounded up to a multiple of 8).
+    batch_size: int = -1
+    #: devices to shard the chain batch over; None -> all local devices.
+    mesh_shape: Optional[int] = None
+
+    def __init__(self, nDims: int = 1, nDerived: int = 0, **kwargs):
+        # dataclass-style init but with the two positional dims first, the
+        # way PolyChordSettings(nDims, nDerived) is called in the reference
+        # test-suite (tests/test_run_pypolychord.py:25).
+        self.nDims = nDims
+        self.nDerived = nDerived
+        for f_ in self.__dataclass_fields__.values():
+            if f_.name in ("nDims", "nDerived"):
+                continue
+            if f_.default is not MISSING:
+                setattr(self, f_.name, f_.default)
+            else:
+                setattr(self, f_.name, f_.default_factory())
+        # Python-surface defaults that depend on nDims
+        self.nlive = 25 * nDims
+        self.num_repeats = 5 * nDims
+        for key, val in kwargs.items():
+            if key not in self.__dataclass_fields__:
+                raise TypeError(f"unknown setting {key!r}")
+            setattr(self, key, val)
+
+    # ------------------------------------------------------------------
+    def finalise(self) -> "PolyChordSettings":
+        """Resolve defaults and compute index layout
+        (initialise_settings, settings.f90:156-239)."""
+        if self.num_repeats < 1:
+            raise ValueError("You need to set num_repeats. Suggestion: 5*nDims")
+        if self.grade_dims is None:
+            self.grade_dims = [self.nDims]
+        self.grade_dims = [int(d) for d in self.grade_dims]
+        if sum(self.grade_dims) != self.nDims:
+            raise ValueError(
+                f"grade_dims ({sum(self.grade_dims)}) must sum to "
+                f"nDims ({self.nDims})"
+            )
+        if self.grade_frac is None:
+            self.grade_frac = [1.0] * len(self.grade_dims)
+        # sorted variable-nlive schedule (settings.f90:228-236)
+        items = sorted(
+            (float(logL), int(n)) for logL, n in (self.nlives or {}).items()
+        )
+        if items:
+            self._loglikes = np.array([x[0] for x in items])
+            self._nlives = np.array([x[1] for x in items], dtype=int)
+        else:
+            self._loglikes = np.array([self.logzero])
+            self._nlives = np.array([self.nlive], dtype=int)
+        return self
+
+    # --- point-array layout (0-based python slices) ------------------------
+    @property
+    def nTotal(self) -> int:
+        return 2 * self.nDims + self.nDerived + 2
+
+    @property
+    def h(self) -> slice:  # hypercube coords
+        return slice(0, self.nDims)
+
+    @property
+    def p(self) -> slice:  # physical coords
+        return slice(self.nDims, 2 * self.nDims)
+
+    @property
+    def d(self) -> slice:  # derived params
+        return slice(2 * self.nDims, 2 * self.nDims + self.nDerived)
+
+    @property
+    def pd(self) -> slice:  # physical + derived (common output block)
+        return slice(self.nDims, 2 * self.nDims + self.nDerived)
+
+    @property
+    def b0(self) -> int:  # birth contour
+        return 2 * self.nDims + self.nDerived
+
+    @property
+    def l0(self) -> int:  # loglikelihood
+        return 2 * self.nDims + self.nDerived + 1
+
+    # --- posterior-stack layout: [X, logL, w, Z, theta, phi] ---------------
+    @property
+    def nposterior(self) -> int:
+        return 4 + self.nDims + self.nDerived
+
+    pos_X = 0
+    pos_l = 1
+    pos_w = 2
+    pos_Z = 3
+
+    @property
+    def pos_p(self) -> slice:
+        return slice(4, 4 + self.nDims)
+
+    @property
+    def pos_pd(self) -> slice:
+        return slice(4, 4 + self.nDims + self.nDerived)
+
+    # --- equals layout: [w, -2logL, theta, phi] ----------------------------
+    @property
+    def np_(self) -> int:
+        return 2 + self.nDims + self.nDerived
+
+    p_w = 0
+    p_2l = 1
+
+    @property
+    def p_pd(self) -> slice:
+        return slice(2, 2 + self.nDims + self.nDerived)
+
+    # ------------------------------------------------------------------
+    @property
+    def cluster_dir_path(self) -> str:
+        import os
+
+        return os.path.join(self.base_dir, self.cluster_dir)
+
+    def nlive_at(self, logL: float) -> int:
+        """Target nlive for the contour logL from the nlives schedule
+        (replace_point, run_time_info.f90:766-771)."""
+        idx = np.searchsorted(self._loglikes, logL, side="left") - 1
+        if idx < 0:
+            return self.nlive
+        return int(self._nlives[idx])
+
+    def resolved_nprior(self) -> int:
+        return self.nlive if self.nprior <= 0 else self.nprior
+
+    def resolved_nfail(self) -> int:
+        return self.nlive if self.nfail <= 0 else self.nfail
+
+    def resolved_batch_size(self) -> int:
+        if self.batch_size > 0:
+            b = self.batch_size
+        else:
+            b = max(32, self.nlive // 4)
+        return -(-b // 8) * 8  # round up to a multiple of 8 (VPU sublanes)
+
+
