@@ -1,0 +1,340 @@
+"""The nested-sampling main loop.
+
+TPU-native re-architecture of ``src/polychord/nested_sampling.F90``: instead
+of an MPI administrator/worker farm, each *epoch* generates a nursery of B
+independent slice chains in one jitted device call (sharded over the chain
+axis on a multi-chip mesh) and the host administrator consumes them one by
+one with the exact reference bookkeeping — a direct generalisation of the
+reference's synchronous mode (nested_sampling.F90:262-287) with B >> nprocs.
+
+Correctness of batched consumption: every baby was generated uniformly within
+the iso-likelihood contour current at its epoch start; conditioning on its
+likelihood exceeding the *risen* contour at insertion time leaves it uniform
+within the new contour (the same argument that licenses the reference's
+asynchronous mode, :288-313).  Cluster reorganisations bump ``rti.epoch`` and
+discard the rest of the nursery, mirroring the administrator_epoch mechanism
+(:341,357,364)."""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.evaluate import make_batched_calculator
+from ..ops.logspace import logsumexp
+from ..ops.slice_kernel import EpochConfig, build_epoch_fn
+from ..settings import PolyChordSettings
+from ..utils import io as io_mod
+from ..utils import resume as resume_mod
+from . import rti as rti_mod
+from .clustering import do_clustering
+from .generate import (
+    assign_num_repeats,
+    generate_live_points,
+    generate_seeds,
+    time_speeds,
+)
+from .rti import (
+    RunTimeInfo,
+    calculate_logZ_estimate,
+    calculate_covmats,
+    delete_cluster,
+    delete_outermost_point,
+    find_min_loglikelihoods,
+    live_logZ,
+    replace_point,
+    update_posteriors,
+)
+
+__version__ = "0.1.0"
+
+
+def default_prior(cube):
+    return cube
+
+
+def default_dumper(live, dead, logweights, logZ, logZerr):
+    pass
+
+
+def more_samples_needed(s: PolyChordSettings, rti: RunTimeInfo) -> bool:
+    """Termination rule (nested_sampling.F90:514-543)."""
+    if s.max_ndead == 0:
+        return False
+    if s.max_ndead > 0 and rti.ndead >= s.max_ndead:
+        return False
+    if (
+        s.precision_criterion > 0
+        and live_logZ(rti) < math.log(s.precision_criterion) + rti.logZ
+    ):
+        return False
+    return True
+
+
+def _dump(dumper, s: PolyChordSettings, rti: RunTimeInfo) -> None:
+    """Deliver live/dead/weights/evidence to the user callback
+    (nested_sampling.F90:546-590; Python array convention: rows = points,
+    columns = [physical, derived, birth, logL])."""
+    dead = rti.dead_array()
+    cols_dead = np.concatenate(
+        [dead[:, s.pd], dead[:, [s.b0]], dead[:, [s.l0]]], axis=1
+    )
+    logw = np.asarray(rti.logweights) + dead[:, s.l0]
+    if logw.size:
+        logw = logw - logsumexp(np, logw)
+    live = rti.all_live()
+    cols_live = np.concatenate(
+        [live[:, s.pd], live[:, [s.b0]], live[:, [s.l0]]], axis=1
+    )
+    logZ, varlogZ, *_ = calculate_logZ_estimate(rti)
+    dumper(cols_live, cols_dead, logw, logZ, math.sqrt(abs(varlogZ)))
+
+
+def _write_products(s: PolyChordSettings, rti: RunTimeInfo, nlikesum, rng, key):
+    if s.write_resume:
+        resume_mod.write_resume_file(s, rti, rng, key)
+    if s.write_live:
+        io_mod.write_phys_live_points(s, rti)
+    if s.write_dead:
+        io_mod.write_dead_points(s, rti)
+    if s.write_stats:
+        io_mod.write_stats_file(s, rti, nlikesum)
+    if s.equals or s.posteriors:
+        io_mod.write_posterior_files(s, rti)
+
+
+def _feedback(s: PolyChordSettings, level: int, msg: str) -> None:
+    if s.feedback >= level:
+        print(msg, flush=True)
+
+
+def nested_sampling(
+    loglikelihood: Callable,
+    prior: Callable,
+    dumper: Callable,
+    settings: PolyChordSettings,
+):
+    """Run the sampler.  Returns a dict with logZ, logZerr, ndead, nlike and
+    the final state (the [logZ, varlogZ, ndead, nlike] output of
+    NestedSampling, nested_sampling.F90:394-402, plus extras)."""
+    s = settings.finalise()
+    t_start = time.time()
+
+    # --- RNG: one host generator + one device key, both from the seed ------
+    seed = s.seed if s.seed >= 0 else int(time.time_ns() % (2**31))
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    _feedback(s, 1, f"PolyChordLite-TPU: nested sampling on {jax.devices()[0].platform}")
+    _feedback(s, 1, f"version {__version__} | nDims {s.nDims} | nlive {s.nlive}")
+
+    # --- likelihood/prior evaluation path ----------------------------------
+    calc = make_batched_calculator(
+        prior, loglikelihood, s.nDims, s.nDerived, s.logzero
+    )
+    # axon TPU does not support host callbacks; run callback-path epochs on
+    # the CPU backend (the likelihood dominates there by construction).
+    device_ctx = None
+    if calc.uses_callback:
+        device_ctx = jax.default_device(jax.devices("cpu")[0])
+        device_ctx.__enter__()
+
+    n_grades = len(s.grade_dims) if s.grade_dims else 1
+
+    try:
+        # --- resume or generate --------------------------------------------
+        io_mod.check_directories(s)
+        io_mod.write_properties_file(s)  # anesthetic compatibility marker
+        resumed = False
+        if s.read_resume and resume_mod.resume_file_exists(s):
+            rti, rng_state, key_saved = resume_mod.read_resume_file(s, n_grades)
+            rng.bit_generator.state = rng_state
+            key = jnp.asarray(key_saved)
+            resumed = True
+            _feedback(s, 1, "Resuming from previous run")
+        elif s.cube_samples is not None:
+            rti = resume_mod.rti_from_cube_samples(s, s.cube_samples, calc, n_grades)
+            speeds = time_speeds(calc, s, key)
+            assign_num_repeats(s, rti, speeds)
+            _feedback(s, 1, f"Starting from {rti.total_nlive()} cube samples")
+        else:
+            _feedback(s, 1, "Generating initial live points")
+            rti, ndiscarded, sec_per_eval = generate_live_points(
+                calc, s, rng, jax.random.fold_in(key, 0)
+            )
+            if s.write_prior:
+                io_mod.write_prior_file(s, rti)
+                io_mod.write_prior_info(s, s.resolved_nprior(), ndiscarded)
+            speeds = time_speeds(calc, s, key)
+            speeds[0] = max(sec_per_eval, 1e-12)
+            assign_num_repeats(s, rti, speeds)
+        rti._rng = rng
+
+        if rti.num_repeats is None:
+            speeds = time_speeds(calc, s, key)
+            assign_num_repeats(s, rti, speeds)
+
+        # trim nprior down to nlive, accumulating the evidence of the
+        # deleted shells (nested_sampling.F90:200-204)
+        if not resumed:
+            while rti.total_nlive() > s.nlive:
+                delete_outermost_point(rti)
+            if s.write_resume:
+                resume_mod.write_resume_file(s, rti, rng, key)
+
+        num_repeats = tuple(int(x) for x in rti.num_repeats)
+        _feedback(s, 1, f"num_repeats per grade: {list(num_repeats)}")
+
+        # --- build the device epoch function -------------------------------
+        cfg = EpochConfig(
+            n_dims=s.nDims,
+            n_phi=max(s.nDerived, 1),
+            grade_dims=tuple(s.grade_dims),
+            num_repeats=num_repeats,
+            logzero=s.logzero,
+        )
+        R = cfg.total_repeats
+        from ..parallel.mesh import make_epoch_runner
+
+        run_epoch, B = make_epoch_runner(
+            calc, cfg, s.resolved_batch_size(),
+            single_device=calc.uses_callback,
+        )
+        _feedback(s, 1, f"chain batch {B} over {len(jax.devices())} device(s)")
+
+        nlikesum = np.zeros(n_grades, dtype=np.int64)
+        failures = 0
+        nfail = s.resolved_nfail()
+        epoch_idx = 0
+
+        _feedback(s, 1, "Started sampling")
+
+        # --- main loop ------------------------------------------------------
+        running = more_samples_needed(s, rti)
+        while running and failures <= nfail and rti.ncluster > 0:
+            seeds, cluster_ids = generate_seeds(rti, B, rng)
+            bound = rti.logLp[cluster_ids]
+            chol = rti.cholesky[cluster_ids]
+            epoch_key = jax.random.fold_in(key, 100_000 + epoch_idx)
+            epoch_idx += 1
+
+            b_cube, b_theta, b_phi, b_logL, nlike = run_epoch(
+                epoch_key, seeds[:, s.h], bound, chol
+            )
+            nlike = nlike.sum(axis=0)
+            rti.nlike += nlike
+            nlikesum += nlike
+
+            # assemble (B, R, nTotal) baby records; birth contour = the
+            # bound the chain was generated at (nested_sampling.F90:260)
+            babies = np.zeros((B, R, s.nTotal))
+            babies[:, :, s.h] = b_cube
+            babies[:, :, s.p] = b_theta
+            if s.nDerived:
+                babies[:, :, s.d] = b_phi[:, :, : s.nDerived]
+            babies[:, :, s.b0] = bound[:, None]
+            babies[:, :, s.l0] = b_logL
+
+            # --- consume the nursery --------------------------------------
+            epoch0 = rti.epoch
+            for b in range(B):
+                if rti.epoch != epoch0:
+                    break  # stale cluster ids after reorganisation
+                if not running or failures > nfail:
+                    break
+                if replace_point(rti, babies[b], int(cluster_ids[b])):
+                    failures = 0
+                else:
+                    failures += 1
+
+                update = logsumexp(np, rti.logXp) <= rti.logX_last_update + math.log(
+                    s.compression_factor
+                )
+                if update:
+                    rti.logX_last_update = float(logsumexp(np, rti.logXp))
+                    update_posteriors(rti)
+                    _write_products(s, rti, nlikesum, rng, key)
+                    _dump(dumper, s, rti)
+
+                delete_cluster(rti)
+                if rti.ncluster == 0:
+                    break
+
+                if update:
+                    logZ, varlogZ, *_ = calculate_logZ_estimate(rti)
+                    frac = math.exp(
+                        min(live_logZ(rti) - rti.logZ, 700.0)
+                    ) if rti.logZ > s.logzero else float("inf")
+                    _feedback(
+                        s,
+                        1,
+                        f"ndead: {rti.ndead:7d} | logZ: {logZ:10.3f} "
+                        f"+/- {math.sqrt(abs(varlogZ)):6.3f} | "
+                        f"nclusters: {rti.ncluster} | "
+                        f"live frac: {frac:.3e} | nlike: {rti.nlike.sum()}",
+                    )
+                    nlikesum[:] = 0
+                    if s.do_clustering:
+                        if s.sub_clustering_dimensions:
+                            do_clustering(rti, s.sub_clustering_dimensions)
+                        do_clustering(rti)
+                    calculate_covmats(rti)
+
+                running = more_samples_needed(s, rti)
+
+        if s.write_resume:
+            resume_mod.write_resume_file(s, rti, rng, key)
+
+        # --- optional maximisation -----------------------------------------
+        if s.maximise:
+            from .maximiser import maximise
+
+            maximise(calc, s, rti)
+
+        # --- drain the remaining live points (nested_sampling.F90:381-384) -
+        while rti.ncluster > 0:
+            delete_outermost_point(rti)
+            delete_cluster(rti)
+
+        update_posteriors(rti)
+        if s.write_live:
+            io_mod.write_phys_live_points(s, rti)
+        if s.equals or s.posteriors:
+            io_mod.write_posterior_files(s, rti)
+        if s.write_dead:
+            io_mod.write_dead_points(s, rti)
+        if s.write_stats:
+            io_mod.write_stats_file(s, rti, nlikesum)
+        _dump(dumper, s, rti)
+
+        logZ, varlogZ, *_ = calculate_logZ_estimate(rti)
+        if failures > nfail:
+            print(
+                f"Warning, unable to proceed after {failures} failed spawn events",
+                flush=True,
+            )
+        _feedback(
+            s,
+            1,
+            f"Finished: logZ = {logZ:.4f} +/- {math.sqrt(abs(varlogZ)):.4f} | "
+            f"ndead {rti.ndead} | nlike {rti.nlike.tolist()} | "
+            f"{time.time() - t_start:.1f}s",
+        )
+
+        return {
+            "logZ": float(logZ),
+            "logZerr": float(math.sqrt(abs(varlogZ))),
+            "ndead": int(rti.ndead),
+            "nlike": int(rti.nlike[0]),
+            "nlike_per_grade": rti.nlike.copy(),
+            "rti": rti,
+        }
+    finally:
+        if device_ctx is not None:
+            device_ctx.__exit__(None, None, None)

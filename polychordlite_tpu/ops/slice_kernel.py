@@ -136,6 +136,17 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
             iters=jnp.zeros((), jnp.int32),
         )
 
+        if axis_name is not None:
+            # Under shard_map every carry component diverges per device (each
+            # device drains its own lanes' loop), so mark replicated initial
+            # values as varying over the chains axis.
+            def _mark(x):
+                if axis_name in getattr(jax.typeof(x), "vma", ()):
+                    return x
+                return jax.lax.pvary(x, (axis_name,))
+
+            carry = jax.tree.map(_mark, carry)
+
         lanes = jnp.arange(B)
         bound_f = bound.astype(jnp.float32)
 
@@ -255,12 +266,68 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
             )
 
         out = jax.lax.while_loop(cond, body, carry)
-        return (
-            out["babies_cube"],
-            out["babies_theta"],
-            out["babies_phi"],
-            out["babies_logL"],
-            out["nlike"],
+        # Pack every output into ONE f32 buffer: device->host transfers on a
+        # tunneled TPU pay a large per-transfer latency, so the whole epoch
+        # result crosses the wire in a single array.
+        # Layout per lane: R * [cube(D), theta(D), phi(n_phi), logL] ++ nlike.
+        per_baby = jnp.concatenate(
+            [
+                out["babies_cube"],
+                out["babies_theta"],
+                out["babies_phi"],
+                out["babies_logL"][:, :, None],
+            ],
+            axis=2,
+        )  # (B, R, 2D + n_phi + 1)
+        packed = jnp.concatenate(
+            [
+                per_baby.reshape(B, R * (2 * D + cfg.n_phi + 1)),
+                out["nlike"].astype(jnp.float32),
+            ],
+            axis=1,
         )
+        return packed
 
     return epoch
+
+
+def unpack_epoch(packed, cfg: EpochConfig):
+    """Host-side unpack of the single epoch buffer produced by the kernel.
+
+    Returns (cube (B,R,D), theta (B,R,D), phi (B,R,n_phi), logL (B,R),
+    nlike (B, n_grades)) as float64 numpy views/copies."""
+    import numpy as np
+
+    packed = np.asarray(packed, dtype=np.float64)
+    D = cfg.n_dims
+    R = cfg.total_repeats
+    n_grades = len(cfg.grade_dims)
+    stride = 2 * D + cfg.n_phi + 1
+    B = packed.shape[0]
+    per_baby = packed[:, : R * stride].reshape(B, R, stride)
+    cube = per_baby[:, :, :D]
+    theta = per_baby[:, :, D : 2 * D]
+    phi = per_baby[:, :, 2 * D : 2 * D + cfg.n_phi]
+    logL = per_baby[:, :, -1]
+    nlike = packed[:, R * stride :].astype(np.int64)
+    return cube, theta, phi, logL, nlike
+
+
+def pack_epoch_inputs(seed_cube, bound, cholesky):
+    """Host-side pack of epoch inputs into one upload buffer:
+    per lane [cube(D), bound, cholesky.ravel(D*D)]."""
+    import numpy as np
+
+    B, D = seed_cube.shape
+    return np.concatenate(
+        [seed_cube, bound[:, None], cholesky.reshape(B, D * D)], axis=1
+    ).astype(np.float32)
+
+
+def unpack_epoch_inputs(packed, n_dims: int):
+    """Device-side unpack (inside jit) of the single input buffer."""
+    D = n_dims
+    seed_cube = packed[:, :D]
+    bound = packed[:, D]
+    chol = packed[:, D + 1 :].reshape(packed.shape[0], D, D)
+    return seed_cube, bound, chol

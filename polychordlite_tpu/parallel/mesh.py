@@ -1,0 +1,78 @@
+"""Device-mesh sharding of the chain batch.
+
+The reference's MPI likelihood farm (``src/polychord/mpi_utils.F90``; SURVEY
+§5.8) maps to a 1-D ``chains`` mesh axis: the nursery of B slice chains is
+sharded across devices with ``jax.shard_map``; every lane is independent (the
+per-lane RNG streams are keyed by *global* lane index), so the epoch issues
+ZERO collectives and each device drains its own lanes' while-loop without
+waiting on stragglers elsewhere.  Results are bitwise identical for any
+device count.
+
+Epoch I/O crosses the host-device boundary as exactly one upload and one
+download per epoch (packed buffers) — on tunneled TPU backends each transfer
+pays a large fixed latency.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.slice_kernel import (
+    EpochConfig,
+    build_epoch_fn,
+    pack_epoch_inputs,
+    unpack_epoch,
+    unpack_epoch_inputs,
+)
+
+
+def make_epoch_runner(
+    calc: Callable,
+    cfg: EpochConfig,
+    batch_size: int,
+    single_device: bool = False,
+    devices=None,
+) -> Tuple[Callable, int]:
+    """Build ``run(key, seeds, bound, chol) -> (cube, theta, phi, logL,
+    nlike)`` (numpy outputs) and the (possibly padded) chain-batch width B."""
+    if devices is None:
+        devices = jax.devices()
+    n_dev = 1 if single_device else len(devices)
+    axis = None if n_dev == 1 else "chains"
+    B = -(-batch_size // (8 * n_dev)) * (8 * n_dev)
+
+    epoch = build_epoch_fn(calc, cfg, axis_name=axis)
+
+    def wrapped(key, packed_in):
+        seed_cube, bound, chol = unpack_epoch_inputs(packed_in, cfg.n_dims)
+        valid = jnp.ones((seed_cube.shape[0],), bool)
+        return epoch(key, seed_cube, bound, chol, valid)
+
+    if n_dev == 1:
+        jitted = jax.jit(wrapped)
+    else:
+        mesh = Mesh(np.array(devices), ("chains",))
+        jitted = jax.jit(
+            jax.shard_map(
+                wrapped,
+                mesh=mesh,
+                in_specs=(P(), P("chains")),
+                out_specs=P("chains"),
+            )
+        )
+
+    def run(key, seed_cube, bound, chol):
+        packed_in = pack_epoch_inputs(
+            np.asarray(seed_cube, dtype=np.float32),
+            np.asarray(bound, dtype=np.float32),
+            np.asarray(chol, dtype=np.float32),
+        )
+        packed_out = jitted(key, jnp.asarray(packed_in))
+        return unpack_epoch(packed_out, cfg)
+
+    return run, B

@@ -1,0 +1,345 @@
+"""Output-file writers.
+
+Produces the reference's complete run-product suite in getdist/anesthetic-
+compatible formats (``src/polychord/read_write.F90``; SURVEY §5.5 — these
+files are the compatibility surface): ``.stats`` (parseable by
+``PolyChordOutput``, fixed line offsets per ``pypolychord/output.py:57-99``),
+``.txt`` / ``_equal_weights.txt`` weighted posteriors (+ per-cluster files in
+``clusters/``), ``_dead(.txt|-birth.txt)``, ``_phys_live(.txt|-birth.txt)``,
+``_prior.txt``, ``.paramnames``, ``.properties.ini``, ``.maximum``.
+
+All files are written atomically (temp + rename, read_write.F90:97-123).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.rti import RunTimeInfo, calculate_logZ_estimate
+from ..settings import PolyChordSettings
+
+#: float column format — fixed width like the reference's E24.15E3
+#: (utils.F90:18-20); plain parsers (getdist/anesthetic/numpy) read it fine.
+_F = "%24.15E"
+
+
+def _fmt_row(vals) -> str:
+    return "".join(_F % v for v in np.atleast_1d(vals))
+
+
+def root_path(s: PolyChordSettings) -> str:
+    return os.path.join(s.base_dir, s.file_root)
+
+
+def cluster_root(s: PolyChordSettings, i: int) -> str:
+    return os.path.join(s.base_dir, "clusters", f"{s.file_root}_{i}")
+
+
+def check_directories(s: PolyChordSettings) -> None:
+    os.makedirs(s.base_dir, exist_ok=True)
+    os.makedirs(os.path.join(s.base_dir, "clusters"), exist_ok=True)
+
+
+def _atomic_write(path: str, lines: List[str]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines))
+        if lines:
+            f.write("\n")
+    os.replace(tmp, path)
+
+
+# ----------------------------------------------------------------------
+
+
+def write_stats_file(
+    s: PolyChordSettings, rti: RunTimeInfo, nlikesum: np.ndarray
+) -> None:
+    """``<root>.stats`` — exact line layout of read_write.F90:809-910 so that
+    PolyChordOutput's fixed-offset parser works unmodified."""
+    check_directories(s)
+    logZ, varlogZ, logZp, varlogZp, logZpd, varlogZpd = calculate_logZ_estimate(rti)
+
+    lines = [
+        "Evidence estimates:",
+        "===================",
+        "  - The evidence Z is a log-normally distributed, with location and scale parameters mu and sigma.",
+        "  - We denote this as log(Z) = mu +/- sigma.",
+        "",
+        "Global evidence:",
+        "----------------",
+        "",
+        "log(Z)       = %s +/- %s" % (_F % logZ, _F % math.sqrt(abs(varlogZ))),
+        "",
+        "",
+        "Local evidences:",
+        "----------------",
+        "",
+    ]
+    for p in range(rti.ncluster):
+        lines.append(
+            "log(Z_%i)%s= %s +/- %s (Still Active)"
+            % (
+                p + 1,
+                " " * max(1, 6 - len(str(p + 1))),
+                _F % logZp[p],
+                _F % math.sqrt(abs(varlogZp[p])),
+            )
+        )
+    for p in range(rti.ncluster_dead):
+        idx = p + rti.ncluster
+        lines.append(
+            "log(Z_%i)%s= %s +/- %s"
+            % (
+                idx + 1,
+                " " * max(1, 6 - len(str(idx + 1))),
+                _F % logZpd[p],
+                _F % math.sqrt(abs(varlogZpd[p])),
+            )
+        )
+    lines += [
+        "",
+        "",
+        "Run-time information:",
+        "---------------------",
+        "",
+        " ncluster:   %8i /%8i" % (rti.ncluster, rti.ncluster + rti.ncluster_dead),
+        " nposterior: %8i" % rti.posterior_global.shape[0],
+        " nequals:    %8i" % rti.equals_global.shape[0],
+        " ndead:      %8i" % rti.ndead,
+        " nlive:      %8i" % rti.total_nlive(),
+        " nlike:      " + "".join("%8i" % n for n in rti.nlike),
+    ]
+    total_nlive = rti.total_nlive()
+    if total_nlive > 0:
+        update_files = -total_nlive * math.log(s.compression_factor)
+        avn = np.asarray(nlikesum, dtype=float) / update_files
+        per_slice = np.asarray(nlikesum, dtype=float) / (
+            np.maximum(rti.num_repeats, 1) * update_files
+        )
+    else:
+        avn = np.zeros(rti.n_grades)
+        per_slice = np.zeros(rti.n_grades)
+    lines.append(
+        " <nlike>:    "
+        + "".join("%8.2f" % x for x in avn)
+        + "   ("
+        + "".join("%8.2f" % x for x in per_slice)
+        + " per slice )"
+    )
+
+    if s.posteriors:
+        mu, sig = _posterior_moments(s, rti)
+        lines += ["", "", "Dim No.       Mean        Sigma"]
+        for i in range(s.nDims):
+            lines.append("%3i%s +/- %s" % (i + 1, _F % mu[i], _F % sig[i]))
+        lines.append("-------------------------------")
+        for i in range(s.nDims, s.nDims + s.nDerived):
+            lines.append("%3i%s +/- %s" % (i + 1, _F % mu[i], _F % sig[i]))
+
+    _atomic_write(root_path(s) + ".stats", lines)
+
+
+def _posterior_moments(s: PolyChordSettings, rti: RunTimeInfo):
+    """Weighted streaming mean/variance over the global weighted posterior
+    (read_write.F90:912-961 semantics, vectorised)."""
+    n = rti.posterior_global.shape[0]
+    dim = s.nDims + s.nDerived
+    if n == 0:
+        return np.zeros(dim), np.zeros(dim)
+    x = rti.posterior_global[:, s.pos_pd]
+    logw = rti.posterior_global[:, s.pos_w] + rti.posterior_global[:, s.pos_l]
+    logw = logw - logw.max()
+    w = np.exp(logw)
+    wsum = w.sum()
+    mu = (w[:, None] * x).sum(0) / wsum
+    var = (w[:, None] * (x - mu) ** 2).sum(0) / wsum
+    return mu, np.sqrt(var)
+
+
+def write_posterior_files(s: PolyChordSettings, rti: RunTimeInfo) -> None:
+    """``<root>.txt`` / ``<root>_equal_weights.txt`` + per-cluster files,
+    clusters sorted by local evidence (read_write.F90:479-617)."""
+    check_directories(s)
+    lzp = np.concatenate([rti.logZp, np.asarray(rti.logZp_dead, dtype=float)])
+    ordering = np.argsort(-lzp, kind="stable")
+    logZ_mean = rti.logZ  # log<Z>, used for cluster weight ratios (:531,:579)
+
+    if s.equals:
+        lines = []
+        for row in rti.equals_global:
+            lines.append(_fmt_row(np.concatenate([[1.0], row[s.p_2l :]])))
+        _atomic_write(root_path(s) + "_equal_weights.txt", lines)
+
+        if s.cluster_posteriors:
+            for rank, c in enumerate(ordering):
+                if c < rti.ncluster:
+                    eq, lz = rti.equals[c], rti.logZp[c]
+                else:
+                    eq = rti.equals_dead[c - rti.ncluster]
+                    lz = rti.logZp_dead[c - rti.ncluster]
+                w = math.exp(min(lz - logZ_mean, 0.0)) if lz > s.logzero else 0.0
+                lines = [
+                    _fmt_row(np.concatenate([[w], row[s.p_2l :]])) for row in eq
+                ]
+                _atomic_write(
+                    cluster_root(s, rank + 1) + "_equal_weights.txt", lines
+                )
+
+    if s.posteriors:
+        lines = []
+        for row in rti.posterior_global:
+            w = math.exp(
+                min(row[s.pos_w] + row[s.pos_l] - rti.maxlogweight_global, 0.0)
+            )
+            if w > 0.0:
+                lines.append(
+                    _fmt_row(
+                        np.concatenate([[w, -2 * row[s.pos_l]], row[s.pos_pd]])
+                    )
+                )
+        _atomic_write(root_path(s) + ".txt", lines)
+
+        if s.cluster_posteriors:
+            for rank, c in enumerate(ordering):
+                if c < rti.ncluster:
+                    post, lz, mlw = (
+                        rti.posterior[c],
+                        rti.logZp[c],
+                        rti.maxlogweight[c],
+                    )
+                else:
+                    post = rti.posterior_dead[c - rti.ncluster]
+                    lz = rti.logZp_dead[c - rti.ncluster]
+                    mlw = rti.maxlogweight_dead[c - rti.ncluster]
+                lines = []
+                for row in post:
+                    w = math.exp(
+                        min(row[s.pos_w] + row[s.pos_l] - mlw + lz - logZ_mean, 0.0)
+                    )
+                    if w > 0.0:
+                        lines.append(
+                            _fmt_row(
+                                np.concatenate(
+                                    [[w, -2 * row[s.pos_l]], row[s.pos_pd]]
+                                )
+                            )
+                        )
+                _atomic_write(cluster_root(s, rank + 1) + ".txt", lines)
+
+
+def write_phys_live_points(s: PolyChordSettings, rti: RunTimeInfo) -> None:
+    """``<root>_phys_live.txt`` (+ ``-birth``, + per-cluster)
+    (read_write.F90:621-676)."""
+    check_directories(s)
+    lines, lines_birth = [], []
+    for c in range(rti.ncluster):
+        cl_lines = []
+        for row in rti.live[c]:
+            cl_lines.append(_fmt_row(np.concatenate([row[s.pd], [row[s.l0]]])))
+            lines_birth.append(
+                _fmt_row(np.concatenate([row[s.pd], [row[s.l0], row[s.b0]]]))
+            )
+        lines += cl_lines
+        if s.do_clustering:
+            _atomic_write(
+                os.path.join(
+                    s.base_dir, "clusters", f"{s.file_root}_phys_live_{c + 1}.txt"
+                ),
+                cl_lines,
+            )
+    _atomic_write(root_path(s) + "_phys_live.txt", lines)
+    _atomic_write(root_path(s) + "_phys_live-birth.txt", lines_birth)
+
+
+def write_dead_points(s: PolyChordSettings, rti: RunTimeInfo) -> None:
+    """``<root>_dead.txt`` (logL first) and ``<root>_dead-birth.txt``
+    (params, logL, birth) (read_write.F90:679-719)."""
+    check_directories(s)
+    dead = rti.dead_array()
+    _atomic_write(
+        root_path(s) + "_dead.txt",
+        [_fmt_row(np.concatenate([[row[s.l0]], row[s.pd]])) for row in dead],
+    )
+    _atomic_write(
+        root_path(s) + "_dead-birth.txt",
+        [
+            _fmt_row(np.concatenate([row[s.pd], [row[s.l0], row[s.b0]]]))
+            for row in dead
+        ],
+    )
+
+
+def write_prior_file(s: PolyChordSettings, rti: RunTimeInfo) -> None:
+    """``<root>_prior.txt`` (read_write.F90:721-752)."""
+    check_directories(s)
+    lines = [
+        _fmt_row(np.concatenate([[1.0, -2 * row[s.l0]], row[s.pd]]))
+        for row in rti.live[0]
+    ]
+    _atomic_write(root_path(s) + "_prior.txt", lines)
+
+
+def write_prior_info(s: PolyChordSettings, nprior: int, ndiscarded: int) -> None:
+    check_directories(s)
+    with open(root_path(s) + ".prior_info", "a") as f:
+        f.write("nprior = %12i\n" % nprior)
+        f.write("ndiscarded = %12i\n" % ndiscarded)
+
+
+def write_paramnames_file(
+    s: PolyChordSettings, paramnames: Sequence[Tuple[str, str]]
+) -> None:
+    """``.paramnames`` (getdist) + ``.properties.ini`` (anesthetic)
+    (read_write.F90:964-1014)."""
+    check_directories(s)
+    _atomic_write(
+        root_path(s) + ".paramnames",
+        ["%s   %s" % (name, latex) for name, latex in paramnames],
+    )
+    write_properties_file(s)
+
+
+def write_properties_file(s: PolyChordSettings) -> None:
+    check_directories(s)
+    _atomic_write(
+        root_path(s) + ".properties.ini",
+        ["sampler=nested", "label=%s" % s.file_root],
+    )
+
+
+def write_max_file(
+    s: PolyChordSettings,
+    max_point: np.ndarray,
+    max_posterior_point: np.ndarray,
+    dXdtheta: float,
+    mean_point: Optional[np.ndarray] = None,
+) -> None:
+    """``<root>.maximum`` (read_write.F90:754-807)."""
+    check_directories(s)
+    lines = [
+        "Maximum LogLikelihood:",
+        _F % max_point[s.l0],
+        "Maximum Likelihood point:",
+        _fmt_row(max_point[s.pd]),
+        "",
+        "Maximum Posterior:",
+        _F % (max_posterior_point[s.l0] + dXdtheta),
+        "Maximum Likelihood at posterior:",
+        _F % max_posterior_point[s.l0],
+        "Maximum Posterior point:",
+        _fmt_row(max_posterior_point[s.pd]),
+        "",
+    ]
+    if mean_point is not None:
+        lines += [
+            "LogLikelihood(mean):",
+            _F % mean_point[s.l0],
+            "mean point:",
+            _fmt_row(mean_point[s.pd]),
+        ]
+    _atomic_write(root_path(s) + ".maximum", lines)

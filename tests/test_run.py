@@ -1,0 +1,227 @@
+"""End-to-end integration tests, modelled on the reference suite
+(``tests/test_run_pypolychord.py``): analytic-logZ oracle, seed-determinism
+contract, derived-parameter plumbing, grade_dims validation, resume."""
+
+import math
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import polychordlite_tpu
+from polychordlite_tpu.priors import UniformPrior
+
+SIGMA = 0.1
+NDIMS = 2
+ANALYTIC_LOGZ = -NDIMS * math.log(2)  # normalised gaussian over U[-1,1]^D
+
+
+def gaussian_likelihood(theta):
+    r2 = jnp.sum(theta**2)
+    logL = -math.log(2 * math.pi * SIGMA * SIGMA) * NDIMS / 2.0 - r2 / 2 / SIGMA**2
+    return logL, [r2]
+
+
+def run_small(tmp_path, file_root="t", seed=1, **kw):
+    defaults = dict(
+        nDerived=1,
+        prior=UniformPrior(-1, 1),
+        nlive=60,
+        num_repeats=2 * NDIMS,
+        read_resume=False,
+        base_dir=str(tmp_path),
+        file_root=file_root,
+        seed=seed,
+        feedback=0,
+        precision_criterion=0.01,
+    )
+    defaults.update(kw)
+    return polychordlite_tpu.run(gaussian_likelihood, NDIMS, **defaults)
+
+
+class TestEndToEnd:
+    def test_logZ_matches_analytic(self, tmp_path):
+        out = run_small(tmp_path)
+        assert abs(out.logZ - ANALYTIC_LOGZ) < 3 * out.logZerr + 0.1
+        assert out.ndead > 100
+        assert out.nlike > 0
+
+    def test_output_files_exist(self, tmp_path):
+        out = run_small(tmp_path, file_root="files")
+        root = os.path.join(str(tmp_path), "files")
+        for suffix in (
+            ".stats",
+            ".txt",
+            "_equal_weights.txt",
+            "_dead.txt",
+            "_dead-birth.txt",
+            "_phys_live.txt",
+            "_phys_live-birth.txt",
+            "_prior.txt",
+            ".resume",
+            ".properties.ini",
+        ):
+            assert os.path.exists(root + suffix), suffix
+
+    def test_equal_weights_file_parses(self, tmp_path):
+        out = run_small(tmp_path, file_root="eq")
+        data = np.loadtxt(os.path.join(str(tmp_path), "eq_equal_weights.txt"))
+        assert data.shape[1] == 2 + NDIMS + 1  # weight, -2logL, params, derived
+        assert np.allclose(data[:, 0], 1.0)
+        # posterior mean of theta should be near 0 (the gaussian is at 0)
+        assert np.all(np.abs(data[:, 2 : 2 + NDIMS].mean(0)) < 0.05)
+
+    def test_dead_birth_contours(self, tmp_path):
+        run_small(tmp_path, file_root="db")
+        data = np.loadtxt(os.path.join(str(tmp_path), "db_dead-birth.txt"))
+        logL, birth = data[:, -2], data[:, -1]
+        assert np.all(birth <= logL + 1e-6)
+
+    def test_dumper_called(self, tmp_path):
+        calls = []
+
+        def dumper(live, dead, logweights, logZ, logZerr):
+            calls.append((live.shape, dead.shape, logweights.shape, logZ))
+
+        run_small(tmp_path, file_root="dump", dumper=dumper)
+        assert len(calls) > 2
+        live_shape, dead_shape, lw_shape, logZ = calls[-1]
+        assert live_shape[1] == NDIMS + 1 + 2  # params, derived, birth, logL
+        assert dead_shape[0] == lw_shape[0]
+        assert np.isfinite(logZ)
+
+
+class TestSeedDeterminism:
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_same_seed_identical(self, tmp_path, seed):
+        run_small(tmp_path / "a", file_root="s", seed=seed)
+        run_small(tmp_path / "b", file_root="s", seed=seed)
+        a = np.loadtxt(str(tmp_path / "a" / "s_dead-birth.txt"))
+        b = np.loadtxt(str(tmp_path / "b" / "s_dead-birth.txt"))
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)
+
+    def test_different_seed_differs(self, tmp_path):
+        run_small(tmp_path / "a", file_root="s", seed=1)
+        run_small(tmp_path / "b", file_root="s", seed=2)
+        a = np.loadtxt(str(tmp_path / "a" / "s_dead-birth.txt"))
+        b = np.loadtxt(str(tmp_path / "b" / "s_dead-birth.txt"))
+        assert a.shape != b.shape or not np.array_equal(a, b)
+
+
+class TestApiParity:
+    def test_no_derived(self, tmp_path):
+        def no_derived(theta):
+            r2 = jnp.sum(theta**2)
+            return (
+                -math.log(2 * math.pi * SIGMA * SIGMA) * NDIMS / 2.0
+                - r2 / 2 / SIGMA**2
+            )
+
+        out = polychordlite_tpu.run(
+            no_derived,
+            NDIMS,
+            prior=UniformPrior(-1, 1),
+            nlive=50,
+            num_repeats=NDIMS * 2,
+            read_resume=False,
+            base_dir=str(tmp_path),
+            seed=1,
+            feedback=0,
+            precision_criterion=0.05,
+        )
+        assert abs(out.logZ - ANALYTIC_LOGZ) < 3 * out.logZerr + 0.2
+
+    def test_grade_dims_validation(self, tmp_path):
+        with pytest.raises(ValueError):
+            polychordlite_tpu.run(
+                gaussian_likelihood,
+                5,
+                nDerived=1,
+                grade_dims=[1, 3],
+                base_dir=str(tmp_path),
+                feedback=0,
+            )
+
+    def test_unknown_kwarg_rejected(self, tmp_path):
+        with pytest.raises(TypeError):
+            polychordlite_tpu.run(
+                gaussian_likelihood, NDIMS, not_a_setting=True
+            )
+
+    def test_legacy_interface(self, tmp_path):
+        from polychordlite_tpu import PolyChordSettings, run_polychord
+
+        settings = PolyChordSettings(NDIMS, 1)
+        settings.nlive = 50
+        settings.num_repeats = 2 * NDIMS
+        settings.read_resume = False
+        settings.feedback = 0
+        settings.base_dir = str(tmp_path)
+        settings.file_root = "legacy"
+        settings.seed = 3
+        settings.precision_criterion = 0.05
+        out = run_polychord(
+            gaussian_likelihood, NDIMS, 1, settings, UniformPrior(-1, 1)
+        )
+        assert abs(out.logZ - ANALYTIC_LOGZ) < 3 * out.logZerr + 0.2
+
+    def test_numpy_likelihood_callback_path(self, tmp_path):
+        def np_like(theta):
+            theta = np.asarray(theta)
+            r2 = float((theta**2).sum())
+            return (
+                -math.log(2 * math.pi * SIGMA * SIGMA) * NDIMS / 2.0
+                - r2 / 2 / SIGMA**2,
+                [r2],
+            )
+
+        out = polychordlite_tpu.run(
+            np_like,
+            NDIMS,
+            nDerived=1,
+            prior=lambda c: np.asarray(-1 + 2 * np.asarray(c)),
+            nlive=40,
+            num_repeats=NDIMS * 2,
+            read_resume=False,
+            base_dir=str(tmp_path),
+            seed=1,
+            feedback=0,
+            precision_criterion=0.05,
+        )
+        assert abs(out.logZ - ANALYTIC_LOGZ) < 3 * out.logZerr + 0.3
+
+    def test_cube_samples(self, tmp_path):
+        cube = np.array([[0.1, 0.2], [0.5, 0.6], [0.4, 0.5], [0.52, 0.48]])
+        out = run_small(
+            tmp_path, file_root="cube", cube_samples=cube, nlive=40
+        )
+        assert np.isfinite(out.logZ)
+
+
+class TestResume:
+    def test_resume_continues_run(self, tmp_path):
+        # First: a capped run that stops early and writes a resume file
+        out1 = run_small(
+            tmp_path, file_root="res", max_ndead=150, read_resume=False
+        )
+        assert out1.ndead >= 150
+        # Second: resume and run to completion
+        out2 = run_small(
+            tmp_path, file_root="res", read_resume=True, max_ndead=-1
+        )
+        assert out2.ndead > out1.ndead
+        assert abs(out2.logZ - ANALYTIC_LOGZ) < 3 * out2.logZerr + 0.2
+
+    def test_resume_dimension_mismatch_rejected(self, tmp_path):
+        run_small(tmp_path, file_root="mm", max_ndead=100, read_resume=False)
+        from polychordlite_tpu.settings import PolyChordSettings
+        from polychordlite_tpu.utils import resume as resume_mod
+
+        s = PolyChordSettings(NDIMS + 1, 0, num_repeats=4)
+        s.base_dir = str(tmp_path)
+        s.file_root = "mm"
+        s.finalise()
+        with pytest.raises(ValueError):
+            resume_mod.read_resume_file(s, 1)

@@ -8,7 +8,11 @@ import pytest
 
 from polychordlite_tpu.ops.evaluate import make_batched_calculator
 from polychordlite_tpu.ops.logspace import LOG_ZERO
-from polychordlite_tpu.ops.slice_kernel import EpochConfig, build_epoch_fn
+from polychordlite_tpu.ops.slice_kernel import (
+    EpochConfig,
+    build_epoch_fn,
+    unpack_epoch,
+)
 
 
 def _make_epoch(n_dims, num_repeats, loglike, n_phi=1):
@@ -21,7 +25,12 @@ def _make_epoch(n_dims, num_repeats, loglike, n_phi=1):
         grade_dims=(n_dims,),
         num_repeats=(num_repeats,),
     )
-    return jax.jit(build_epoch_fn(calc, cfg)), cfg
+    jitted = jax.jit(build_epoch_fn(calc, cfg))
+
+    def epoch(key, seeds, bounds, chol, valid):
+        return unpack_epoch(jitted(key, seeds, bounds, chol, valid), cfg)
+
+    return epoch, cfg
 
 
 _STATE = {}
@@ -100,7 +109,7 @@ class TestSliceEngine:
         out = self.epoch(self.key, self.seeds, self.bounds, self.chol, valid)
         logL = np.asarray(out[3])
         nlike = np.asarray(out[4])
-        assert np.all(logL[0] == LOG_ZERO)
+        assert np.all(logL[0] <= -1e29)  # LOG_ZERO through an f32 round-trip
         assert nlike[0].sum() == 0
         assert np.all(logL[1:] >= self.bound - 1e-5)
 
