@@ -32,6 +32,83 @@ from ..settings import PolyChordSettings
 HUGE = np.finfo(np.float64).max
 
 
+class RowStore:
+    """Growable 2-D float64 array with amortised O(1) appends.
+
+    Replaces the reference's ``reallocate``/``add_point`` machinery
+    (array_utils.f90:22-431) for the stores that only ever grow or get
+    rebuilt (phantoms, posterior stacks): per-row ``vstack`` would be
+    O(n^2) over a run."""
+
+    __slots__ = ("_buf", "n")
+
+    def __init__(self, ncols: int, data: Optional[np.ndarray] = None, cap: int = 64):
+        if data is not None and len(data):
+            data = np.asarray(data, dtype=np.float64).reshape(-1, ncols)
+            cap = max(cap, 2 * data.shape[0])
+        self._buf = np.empty((cap, ncols))
+        self.n = 0
+        if data is not None and len(data):
+            self._buf[: data.shape[0]] = data
+            self.n = data.shape[0]
+
+    @property
+    def data(self) -> np.ndarray:
+        """View of the live rows (no copy; invalidated by growth)."""
+        return self._buf[: self.n]
+
+    @property
+    def ncols(self) -> int:
+        return self._buf.shape[1]
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __iter__(self):
+        return iter(self.data)
+
+    def _reserve(self, extra: int) -> None:
+        need = self.n + extra
+        if need > self._buf.shape[0]:
+            cap = max(2 * self._buf.shape[0], need)
+            new = np.empty((cap, self._buf.shape[1]))
+            new[: self.n] = self._buf[: self.n]
+            self._buf = new
+
+    def append(self, row: np.ndarray) -> None:
+        self._reserve(1)
+        self._buf[self.n] = row
+        self.n += 1
+
+    def extend(self, rows) -> None:
+        rows = np.asarray(rows, dtype=np.float64)
+        if rows.size == 0:
+            return
+        rows = rows.reshape(-1, self._buf.shape[1])
+        self._reserve(rows.shape[0])
+        self._buf[self.n : self.n + rows.shape[0]] = rows
+        self.n += rows.shape[0]
+
+    def replace(self, rows) -> None:
+        self.n = 0
+        self.extend(rows)
+
+    def clear(self) -> None:
+        self.n = 0
+
+    def copy_array(self) -> np.ndarray:
+        return self.data.copy()
+
+    def __getstate__(self):
+        return {"data": self.copy_array()}
+
+    def __setstate__(self, state):
+        data = state["data"]
+        self._buf = np.empty((max(64, 2 * len(data)), data.shape[1]))
+        self._buf[: len(data)] = data
+        self.n = len(data)
+
+
 class RunTimeInfo:
     """Everything needed to resume a run (run_time_info.f90:5-107)."""
 
@@ -42,14 +119,14 @@ class RunTimeInfo:
 
         # active clusters: parallel per-cluster lists
         self.live: List[np.ndarray] = [np.zeros((0, s.nTotal))]
-        self.phantom: List[np.ndarray] = [np.zeros((0, s.nTotal))]
-        self.posterior_stack: List[np.ndarray] = [np.zeros((0, s.nposterior))]
-        self.posterior: List[np.ndarray] = [np.zeros((0, s.nposterior))]
-        self.equals: List[np.ndarray] = [np.zeros((0, s.np_))]
+        self.phantom: List[RowStore] = [RowStore(s.nTotal)]
+        self.posterior_stack: List[RowStore] = [RowStore(s.nposterior)]
+        self.posterior: List[RowStore] = [RowStore(s.nposterior)]
+        self.equals: List[RowStore] = [RowStore(s.np_)]
 
         # global posterior arrays
-        self.posterior_global = np.zeros((0, s.nposterior))
-        self.equals_global = np.zeros((0, s.np_))
+        self.posterior_global = RowStore(s.nposterior)
+        self.equals_global = RowStore(s.np_)
 
         # dead points (pure NS samples) + their volume logweights
         self.dead: List[np.ndarray] = []
@@ -111,7 +188,7 @@ class RunTimeInfo:
 
     @property
     def nphantom(self) -> np.ndarray:
-        return np.array([c.shape[0] for c in self.phantom], dtype=int)
+        return np.array([len(c) for c in self.phantom], dtype=int)
 
     def total_nlive(self) -> int:
         return int(sum(c.shape[0] for c in self.live))
@@ -325,7 +402,7 @@ def delete_outermost_point(rti: RunTimeInfo) -> None:
     pp = _posterior_point(
         s, deleted, logweight, rti.logZ, logsumexp(np, rti.logXp)
     )
-    rti.posterior_stack[p] = np.vstack([rti.posterior_stack[p], pp])
+    rti.posterior_stack[p].append(pp)
     w = pp[s.pos_w] + pp[s.pos_l]
     rti.maxlogweight[p] = max(rti.maxlogweight[p], w)
     rti.maxlogweight_global = max(rti.maxlogweight_global, rti.maxlogweight[p])
@@ -351,9 +428,7 @@ def replace_point(
         pt = baby_points[i]
         if pt[s.l0] > logL:
             if identify_cluster(rti, pt) == cluster_add:
-                rti.phantom[cluster_add] = np.vstack(
-                    [rti.phantom[cluster_add], pt]
-                )
+                rti.phantom[cluster_add].append(pt)
 
     # live-point candidate
     pt = baby_points[-1].copy()
@@ -396,10 +471,10 @@ def add_cluster(
     """
     s = rti.settings
     old_live = rti.live[p]
-    old_posterior = rti.posterior[p]
-    old_equals = rti.equals[p]
+    old_posterior = rti.posterior[p].copy_array()
+    old_equals = rti.equals[p].copy_array()
     old_maxlogweight = rti.maxlogweight[p]
-    all_old_phantoms = [ph.copy() for ph in rti.phantom]
+    all_old_phantoms = [ph.copy_array() for ph in rti.phantom]
 
     logXp = rti.logXp[p]
     logXp2 = rti.logXpXq[p, p]
@@ -418,16 +493,16 @@ def add_cluster(
         return [lst[q] for q in old_idx] + [new_value_fn(k) for k in range(num_new)]
 
     rti.live = reorder(rti.live, lambda k: old_live[cluster_list == k])
-    rti.phantom = reorder(
-        rti.phantom, lambda k: np.zeros((0, s.nTotal))
-    )
+    rti.phantom = reorder(rti.phantom, lambda k: RowStore(s.nTotal))
     rti.posterior_stack = reorder(
-        rti.posterior_stack, lambda k: np.zeros((0, s.nposterior))
+        rti.posterior_stack, lambda k: RowStore(s.nposterior)
     )
     # posterior/equals of the split cluster are duplicated into every child
     # (run_time_info.f90:433-441)
-    rti.posterior = reorder(rti.posterior, lambda k: old_posterior.copy())
-    rti.equals = reorder(rti.equals, lambda k: old_equals.copy())
+    rti.posterior = reorder(
+        rti.posterior, lambda k: RowStore(s.nposterior, old_posterior)
+    )
+    rti.equals = reorder(rti.equals, lambda k: RowStore(s.np_, old_equals))
 
     rti.covmat = np.concatenate(
         [rti.covmat[old_idx], np.repeat(rti.covmat[p][None], num_new, axis=0)]
@@ -454,13 +529,13 @@ def add_cluster(
         for j in range(rti.ncluster):
             sel = (js == j) & (ph[:, s.l0] > rti.logLp[j])
             if sel.any():
-                rti.phantom[j] = np.vstack([rti.phantom[j], ph[sel]])
+                rti.phantom[j].extend(ph[sel])
 
     # --- split the evidence bookkeeping (:458-494) -------------------------
     new_sl = slice(n_old, n_total)
     counts = np.array(
         [
-            rti.live[n_old + k].shape[0] + rti.phantom[n_old + k].shape[0]
+            rti.live[n_old + k].shape[0] + len(rti.phantom[n_old + k])
             for k in range(num_new)
         ],
         dtype=float,
@@ -499,10 +574,10 @@ def add_cluster(
     for k in range(num_new):
         c = n_old + k
         delta = rti.logZp[c] - logZp
-        if rti.equals[c].shape[0]:
-            rti.equals[c][:, s.p_2l] += delta
-        if rti.posterior[c].shape[0]:
-            rti.posterior[c][:, s.pos_l] += delta
+        if len(rti.equals[c]):
+            rti.equals[c].data[:, s.p_2l] += delta
+        if len(rti.posterior[c]):
+            rti.posterior[c].data[:, s.pos_l] += delta
 
     rti.epoch += 1
 
@@ -519,8 +594,8 @@ def delete_cluster(rti: RunTimeInfo) -> bool:
 
     p = int(np.flatnonzero(nlives == 0)[0])
 
-    rti.posterior_dead.append(rti.posterior[p])
-    rti.equals_dead.append(rti.equals[p])
+    rti.posterior_dead.append(rti.posterior[p].copy_array())
+    rti.equals_dead.append(rti.equals[p].copy_array())
     rti.logZp_dead.append(float(rti.logZp[p]))
     rti.logZp2_dead.append(float(rti.logZp2[p]))
     rti.maxlogweight_dead.append(float(rti.maxlogweight[p]))
@@ -544,7 +619,7 @@ def calculate_covmats(rti: RunTimeInfo) -> None:
     (run_time_info.f90:601-641)."""
     s = rti.settings
     for p in range(rti.ncluster):
-        pts = np.vstack([rti.live[p][:, s.h], rti.phantom[p][:, s.h]])
+        pts = np.vstack([rti.live[p][:, s.h], rti.phantom[p].data[:, s.h]])
         if pts.shape[0] == 0:
             continue
         rti.covmat[p] = calc_covmat_np(pts)
@@ -561,42 +636,41 @@ def clean_phantoms(rti: RunTimeInfo, rng: np.random.Generator) -> None:
     contour into (thinned) posterior samples (run_time_info.f90:820-877)."""
     s = rti.settings
     for p in range(rti.ncluster):
-        stack = rti.posterior_stack[p]
+        stack = rti.posterior_stack[p].data
         n_stack0 = stack.shape[0]  # only match against pre-existing entries
-        ph = rti.phantom[p]
-        if ph.shape[0] == 0:
+        ph = rti.phantom[p].data
+        if ph.shape[0] == 0 or n_stack0 == 0:
             continue
-        keep = np.ones(ph.shape[0], dtype=bool)
-        new_rows = []
-        for k in range(ph.shape[0]):
-            if n_stack0 == 0:
-                continue
-            cand = stack[:n_stack0, s.pos_l] > ph[k, s.l0]
-            if not cand.any():
-                continue
-            # the stack entry with the smallest logL still above the phantom
-            masked = np.where(cand, stack[:n_stack0, s.pos_l], np.inf)
-            j = int(np.argmin(masked))
-            keep[k] = False
-            if (s.equals or s.posteriors) and (
-                rng.random() < rti.thin_posterior
-            ):
-                pp = _posterior_point(
-                    s,
-                    ph[k],
-                    stack[j, s.pos_w],
-                    stack[j, s.pos_Z],
-                    stack[j, s.pos_X],
-                )
-                new_rows.append(pp)
-                w = pp[s.pos_w] + pp[s.pos_l]
-                rti.maxlogweight[p] = max(rti.maxlogweight[p], w)
-                rti.maxlogweight_global = max(
-                    rti.maxlogweight_global, rti.maxlogweight[p]
-                )
-        rti.phantom[p] = ph[keep]
-        if new_rows:
-            rti.posterior_stack[p] = np.vstack([stack] + new_rows)
+        # A phantom "dies" when some recorded dead contour exceeds its logL;
+        # it inherits the weight of the stack entry with the smallest such
+        # contour.  Vectorised via a sort + searchsorted.
+        order = np.argsort(stack[:n_stack0, s.pos_l], kind="stable")
+        sorted_logL = stack[order, s.pos_l]
+        idx = np.searchsorted(sorted_logL, ph[:, s.l0], side="right")
+        dies = idx < n_stack0
+        keep = ~dies
+        if dies.any():
+            j = order[np.minimum(idx, n_stack0 - 1)]
+            take = dies
+            if s.equals or s.posteriors:
+                thin = rng.random(ph.shape[0]) < rti.thin_posterior
+                take = dies & thin
+                if take.any():
+                    src = j[take]
+                    pts = ph[take]
+                    rows = np.empty((pts.shape[0], s.nposterior))
+                    rows[:, s.pos_X] = stack[src, s.pos_X]
+                    rows[:, s.pos_l] = pts[:, s.l0]
+                    rows[:, s.pos_w] = stack[src, s.pos_w]
+                    rows[:, s.pos_Z] = stack[src, s.pos_Z]
+                    rows[:, s.pos_pd] = pts[:, s.pd]
+                    rti.posterior_stack[p].extend(rows)
+                    w = float(np.max(rows[:, s.pos_w] + rows[:, s.pos_l]))
+                    rti.maxlogweight[p] = max(rti.maxlogweight[p], w)
+                    rti.maxlogweight_global = max(
+                        rti.maxlogweight_global, rti.maxlogweight[p]
+                    )
+            rti.phantom[p].replace(ph[keep])
 
 
 def update_posteriors(rti: RunTimeInfo, rng: Optional[np.random.Generator] = None) -> None:
@@ -609,71 +683,51 @@ def update_posteriors(rti: RunTimeInfo, rng: Optional[np.random.Generator] = Non
 
     clean_phantoms(rti, rng)
 
-    if s.equals:
-        # re-strip the global equal-weight samples against the new max weight
-        eg = rti.equals_global
-        if eg.shape[0]:
-            w = eg[:, s.p_w]
-            auto = w >= rti.maxlogweight_global
-            acc = rng.random(eg.shape[0]) < np.exp(
-                np.minimum(w - rti.maxlogweight_global, 0.0)
-            )
-            keep = auto | acc
-            eg = eg[keep]
-            eg[:, s.p_w] = np.where(
-                eg[:, s.p_w] < rti.maxlogweight_global,
-                rti.maxlogweight_global,
-                eg[:, s.p_w],
-            )
-            rti.equals_global = eg
+    def _restrip(store: RowStore, maxw: float) -> None:
+        """Rejection-resample an equal-weight store against a new max weight
+        (run_time_info.f90:975-1025)."""
+        eq = store.data
+        if not eq.shape[0]:
+            return
+        w = eq[:, s.p_w]
+        auto = w >= maxw
+        acc = rng.random(eq.shape[0]) < np.exp(np.minimum(w - maxw, 0.0))
+        out = eq[auto | acc]
+        out[:, s.p_w] = np.maximum(out[:, s.p_w], maxw)
+        store.replace(out)
 
+    if s.equals:
+        _restrip(rti.equals_global, rti.maxlogweight_global)
         if s.cluster_posteriors:
             for p in range(rti.ncluster):
-                eq = rti.equals[p]
-                if not eq.shape[0]:
-                    continue
-                w = eq[:, s.p_w]
-                auto = w >= rti.maxlogweight[p]
-                acc = rng.random(eq.shape[0]) < np.exp(
-                    np.minimum(w - rti.maxlogweight[p], 0.0)
-                )
-                keep = auto | acc
-                eq = eq[keep]
-                eq[:, s.p_w] = np.where(
-                    eq[:, s.p_w] < rti.maxlogweight[p],
-                    rti.maxlogweight[p],
-                    eq[:, s.p_w],
-                )
-                rti.equals[p] = eq
+                _restrip(rti.equals[p], rti.maxlogweight[p])
 
-    # drain the stacks
+    # drain the stacks (vectorised; run_time_info.f90:1028-1064)
     for p in range(rti.ncluster):
-        stack = rti.posterior_stack[p]
-        for row in stack:
-            if s.equals:
-                logw = row[s.pos_w] + row[s.pos_l]
-                if rng.random() < math.exp(
-                    min(logw - rti.maxlogweight_global, 0.0)
-                ):
-                    ep = np.empty(s.np_)
-                    ep[s.p_w] = rti.maxlogweight_global
-                    ep[s.p_2l] = -2 * row[s.pos_l]
-                    ep[s.p_pd] = row[s.pos_pd]
-                    rti.equals_global = np.vstack([rti.equals_global, ep])
-                if s.cluster_posteriors:
-                    if rng.random() < math.exp(
-                        min(logw - rti.maxlogweight[p], 0.0)
-                    ):
-                        ep = np.empty(s.np_)
-                        ep[s.p_w] = rti.maxlogweight[p]
-                        ep[s.p_2l] = -2 * row[s.pos_l]
-                        ep[s.p_pd] = row[s.pos_pd]
-                        rti.equals[p] = np.vstack([rti.equals[p], ep])
-            if s.posteriors:
-                rti.posterior_global = np.vstack([rti.posterior_global, row])
-                if s.cluster_posteriors:
-                    rti.posterior[p] = np.vstack([rti.posterior[p], row])
-        rti.posterior_stack[p] = np.zeros((0, s.nposterior))
+        stack = rti.posterior_stack[p].data
+        if stack.shape[0] == 0:
+            continue
+        if s.equals:
+            logw = stack[:, s.pos_w] + stack[:, s.pos_l]
+
+            def _equal_rows(maxw):
+                acc = rng.random(stack.shape[0]) < np.exp(
+                    np.minimum(logw - maxw, 0.0)
+                )
+                rows = np.empty((int(acc.sum()), s.np_))
+                rows[:, s.p_w] = maxw
+                rows[:, s.p_2l] = -2 * stack[acc, s.pos_l]
+                rows[:, s.p_pd] = stack[acc][:, s.pos_pd]
+                return rows
+
+            rti.equals_global.extend(_equal_rows(rti.maxlogweight_global))
+            if s.cluster_posteriors:
+                rti.equals[p].extend(_equal_rows(rti.maxlogweight[p]))
+        if s.posteriors:
+            rti.posterior_global.extend(stack)
+            if s.cluster_posteriors:
+                rti.posterior[p].extend(stack)
+        rti.posterior_stack[p].clear()
 
 
 def rti_rng(rti: RunTimeInfo) -> np.random.Generator:

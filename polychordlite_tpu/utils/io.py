@@ -108,8 +108,8 @@ def write_stats_file(
         "---------------------",
         "",
         " ncluster:   %8i /%8i" % (rti.ncluster, rti.ncluster + rti.ncluster_dead),
-        " nposterior: %8i" % rti.posterior_global.shape[0],
-        " nequals:    %8i" % rti.equals_global.shape[0],
+        " nposterior: %8i" % len(rti.posterior_global),
+        " nequals:    %8i" % len(rti.equals_global),
         " ndead:      %8i" % rti.ndead,
         " nlive:      %8i" % rti.total_nlive(),
         " nlike:      " + "".join("%8i" % n for n in rti.nlike),
@@ -147,12 +147,13 @@ def write_stats_file(
 def _posterior_moments(s: PolyChordSettings, rti: RunTimeInfo):
     """Weighted streaming mean/variance over the global weighted posterior
     (read_write.F90:912-961 semantics, vectorised)."""
-    n = rti.posterior_global.shape[0]
+    n = len(rti.posterior_global)
     dim = s.nDims + s.nDerived
     if n == 0:
         return np.zeros(dim), np.zeros(dim)
-    x = rti.posterior_global[:, s.pos_pd]
-    logw = rti.posterior_global[:, s.pos_w] + rti.posterior_global[:, s.pos_l]
+    x = rti.posterior_global.data[:, s.pos_pd]
+    pg = rti.posterior_global.data
+    logw = pg[:, s.pos_w] + pg[:, s.pos_l]
     logw = logw - logw.max()
     w = np.exp(logw)
     wsum = w.sum()

@@ -223,7 +223,7 @@ class TestReplacePoint:
         assert ok
         assert rti.ndead == ndead0 + 1  # outermost deleted
         assert rti.live[0].shape[0] == 5
-        assert rti.phantom[0].shape[0] == 1  # first baby became a phantom
+        assert len(rti.phantom[0]) == 1  # first baby became a phantom
         # contour has risen
         assert rti.logLp[0] > -5
 
