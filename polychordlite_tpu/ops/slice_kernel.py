@@ -3,32 +3,37 @@
 This replaces the reference's per-process sequential slice chains
 (``src/polychord/chordal_sampling.f90:7-273``) and its MPI worker farm
 (``src/polychord/nested_sampling.F90:445-498``) with a single jitted kernel:
-B independent chains advance through a per-lane state machine, and every
-iteration of the outer ``lax.while_loop`` performs ONE batched likelihood
-evaluation of all B probe points, so likelihood FLOPs always reach the
-MXU/VPU in (B, D) batches.
+B independent chains advance together, and every step of the inner loop
+performs ONE batched likelihood evaluation of all B probe points, so
+likelihood FLOPs always reach the MXU/VPU in (B, D) batches.
 
-Per-lane state machine (one slice chain = R sequential 1-D slice samples,
-Neal 2003 stepping-out + shrinkage, mirroring ``slice_sample``
-``chordal_sampling.f90:163-273``):
+Structure (chosen for XLA/TPU memory behaviour):
 
-    INIT_R  evaluate right end of the random initial interval  [x0-u*w, x0+(1-u)*w]
-    INIT_L  evaluate left end
-    STEP_R  expand right bound in unit-w steps while inside the contour
-    STEP_L  expand left bound likewise
-    SHRINK  draw uniformly in (tL, tR); accept if inside, else contract the
-            side the draw fell on; after ``max_shrink`` failures the point is
-            forcibly returned with logL = logzero ("non-deterministic
-            loglikelihood" guard, chordal_sampling.f90:268-271)
-    DONE    all R repeats complete (lane idles until the batch drains)
+* an outer ``lax.scan`` over the R slice repeats — repeats are sequential in
+  the reference too (one chord at a time per chain); the scan emits each
+  repeat's accepted babies as stacked outputs, so no (B, R, ·) buffer is ever
+  scattered into inside a loop carry (a (B,R,·) carry makes every iteration
+  cost O(B·R) in HBM rewrites);
+* an inner masked ``lax.while_loop`` over the per-lane state machine for one
+  repeat (Neal 2003, mirroring ``slice_sample`` chordal_sampling.f90:163-273):
 
-Because each chain's interval is parameterised by the scalar chord coordinate
-t (probe = x0 + t * n̂ with |n̂| = 1), the bounds are two scalars per lane.
-Lanes progress independently — a lane that finishes repeat r immediately
-starts repeat r+1 — so there is no per-repeat barrier and the only idle work
-is the tail of the final repeats.
+      INIT_R  evaluate right end of the random interval [x0-u·w, x0+(1-u)·w]
+      INIT_L  evaluate left end
+      STEP_R  expand right bound in unit-w steps while inside the contour
+      STEP_L  expand left bound likewise
+      SHRINK  draw uniformly in (tL, tR); accept if inside, else contract the
+              side the draw fell on; after ``max_shrink`` failures the point
+              is returned with logL = logzero ("non-deterministic
+              loglikelihood" guard, chordal_sampling.f90:268-271)
+      DONE    lane finished this repeat (idles until the batch converges)
 
-Randomness is drawn from per-lane counter-based keys (fold_in of the epoch key
+  All inner state is (B,)- or (B,D)-shaped — the loop interior is
+  independent of R.
+
+Because each chain's chord is parameterised by the scalar coordinate t
+(probe = x0 + t·n̂, |n̂| = 1), the slice bounds are two scalars per lane.
+
+Randomness comes from per-lane counter-based keys (fold_in of the epoch key
 with the *global* lane index), making results bitwise independent of how the
 chain batch is sharded across devices.
 """
@@ -72,21 +77,20 @@ class EpochConfig(NamedTuple):
 def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] = None):
     """Build the jittable epoch function.
 
-    ``epoch(key, seed_cube, bound, cholesky, lane_valid)`` runs one slice chain
-    per lane and returns
-    ``(babies_cube (B,R,D), babies_theta, babies_phi, babies_logL (B,R),
-    nlike (B, n_grades))``.
+    ``epoch(key, seed_cube, bound, cholesky, lane_valid)`` runs one slice
+    chain per lane and returns a single packed (B, R*(2D+n_phi+1)+n_grades)
+    f32 buffer (see :func:`unpack_epoch`) — one device->host transfer per
+    epoch.
 
-    ``axis_name`` is set when the function runs inside ``shard_map`` over the
-    chain batch; it is only used to derive *global* lane indices for the
-    per-lane RNG streams (no collectives are issued — the epoch is
-    embarrassingly parallel and scales linearly across the mesh).
+    ``axis_name`` is set when running inside ``shard_map`` over the chain
+    batch; it only affects the *global* lane indices of the per-lane RNG
+    streams (no collectives — the epoch is embarrassingly parallel).
     """
     D = cfg.n_dims
     R = cfg.total_repeats
     n_grades = len(cfg.grade_dims)
     logzero = cfg.logzero
-    max_iters = R * (2 * cfg.max_step + cfg.max_shrink + 4)
+    max_inner = 2 * cfg.max_step + cfg.max_shrink + 4
 
     def epoch(key, seed_cube, bound, cholesky, lane_valid):
         B = seed_cube.shape[0]
@@ -105,187 +109,172 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
             num_repeats=cfg.num_repeats,
             n_dims=D,
         )
-
-        # --- initial per-lane state -----------------------------------------
-        def first_u(k):
-            k2, sub = jax.random.split(k)
-            return k2, jax.random.uniform(sub, ())
-
-        loop_keys, u0 = jax.vmap(first_u)(loop_keys)
-        w0 = ws[:, 0]
-        tL = -u0 * w0
-        tR = (1.0 - u0) * w0
-        phase = jnp.where(lane_valid, PH_INIT_R, PH_DONE).astype(jnp.int32)
-        carry = dict(
-            keys=loop_keys,
-            x0=seed_cube.astype(jnp.float32),
-            tL=tL.astype(jnp.float32),
-            tR=tR.astype(jnp.float32),
-            rstep=jnp.ones((B,), jnp.int32),
-            lstep=jnp.ones((B,), jnp.int32),
-            nshrink=jnp.zeros((B,), jnp.int32),
-            need_r=jnp.zeros((B,), bool),
-            need_l=jnp.zeros((B,), bool),
-            phase=phase,
-            r_idx=jnp.zeros((B,), jnp.int32),
-            babies_cube=jnp.zeros((B, R, D), jnp.float32),
-            babies_theta=jnp.zeros((B, R, D), jnp.float32),
-            babies_phi=jnp.zeros((B, R, cfg.n_phi), jnp.float32),
-            babies_logL=jnp.full((B, R), logzero, jnp.float32),
-            nlike=jnp.zeros((B, n_grades), jnp.int32),
-            iters=jnp.zeros((), jnp.int32),
-        )
-
-        if axis_name is not None:
-            # Under shard_map every carry component diverges per device (each
-            # device drains its own lanes' loop), so mark replicated initial
-            # values as varying over the chains axis.
-            def _mark(x):
-                if axis_name in getattr(jax.typeof(x), "vma", ()):
-                    return x
-                return jax.lax.pvary(x, (axis_name,))
-
-            carry = jax.tree.map(_mark, carry)
-
-        lanes = jnp.arange(B)
         bound_f = bound.astype(jnp.float32)
+        valid = lane_valid
 
-        def cond(c):
-            return jnp.any(c["phase"] != PH_DONE) & (c["iters"] < max_iters)
+        def one_repeat(carry, per_repeat):
+            """One slice sample per lane (slice_sample,
+            chordal_sampling.f90:163-273), vectorised over the batch."""
+            x0, keys = carry
+            nhat, w, grade = per_repeat  # (B,D), (B,), (B,)
 
-        def body(c):
-            phase = c["phase"]
-            r_gather = jnp.minimum(c["r_idx"], R - 1)
-            nhat = jnp.take_along_axis(nhats, r_gather[:, None, None], axis=1)[:, 0]
-            w = jnp.take_along_axis(ws, r_gather[:, None], axis=1)[:, 0]
-            grade = jnp.take_along_axis(speeds, r_gather[:, None], axis=1)[:, 0]
-
-            def draw(k):
+            def draw2(k):
                 k2, sub = jax.random.split(k)
                 return k2, jax.random.uniform(sub, (2,))
 
-            keys, u = jax.vmap(draw)(c["keys"])
-            u_shrink, u_next = u[:, 0], u[:, 1]
+            keys, u0 = jax.vmap(draw2)(keys)
+            tL = -u0[:, 0] * w
+            tR = (1.0 - u0[:, 0]) * w
 
-            # ---- probe position per lane (pre-eval) ------------------------
-            t = jnp.where(phase == PH_INIT_R, c["tR"], 0.0)
-            t = jnp.where(phase == PH_INIT_L, c["tL"], t)
-            t = jnp.where(phase == PH_STEP_R, w * c["rstep"], t)
-            t = jnp.where(phase == PH_STEP_L, -w * c["lstep"], t)
-            t_shrink = c["tL"] + u_shrink * (c["tR"] - c["tL"])
-            t = jnp.where(phase == PH_SHRINK, t_shrink, t)
-
-            probe = c["x0"] + t[:, None] * nhat
-            theta, phi, logL = calc_point_batch(probe)
-
-            inside = (logL >= bound_f) & (logL > logzero)
-            active = phase != PH_DONE
-            counted = active & (logL > logzero)
-            nlike = c["nlike"] + (
-                jax.nn.one_hot(grade, n_grades, dtype=jnp.int32) * counted[:, None]
-            )
-
-            # ---- post-eval transitions (phases are mutually exclusive) -----
-            is_ir = phase == PH_INIT_R
-            is_il = phase == PH_INIT_L
-            is_sr = phase == PH_STEP_R
-            is_sl = phase == PH_STEP_L
-            is_sh = phase == PH_SHRINK
-
-            need_r = jnp.where(is_ir, inside, c["need_r"])
-            need_l = jnp.where(is_il, inside, c["need_l"])
-
-            after_init_l = jnp.where(
-                need_r, PH_STEP_R, jnp.where(need_l, PH_STEP_L, PH_SHRINK)
-            )
-
-            done_r = is_sr & (~inside | (c["rstep"] >= cfg.max_step))
-            done_l = is_sl & (~inside | (c["lstep"] >= cfg.max_step))
-            tR = jnp.where(done_r, t, c["tR"])
-            tL = jnp.where(done_l, t, c["tL"])
-            rstep = jnp.where(is_sr & ~done_r, c["rstep"] + 1, c["rstep"])
-            lstep = jnp.where(is_sl & ~done_l, c["lstep"] + 1, c["lstep"])
-
-            accept = is_sh & inside
-            forced = is_sh & ~inside & (c["nshrink"] + 1 >= cfg.max_shrink)
-            acc = accept | forced
-            contract = is_sh & ~inside & ~forced
-            tR = jnp.where(contract & (t > 0.0), t, tR)
-            tL = jnp.where(contract & (t <= 0.0), t, tL)
-            nshrink = jnp.where(contract | forced, c["nshrink"] + 1, c["nshrink"])
-
-            # Store the accepted baby at slot r_idx.
-            logL_store = jnp.where(forced, logzero, logL)
-
-            def store(buf, val):
-                cur = buf[lanes, r_gather]
-                mask = acc if val.ndim == 1 else acc[:, None]
-                return buf.at[lanes, r_gather].set(jnp.where(mask, val, cur))
-
-            babies_cube = store(c["babies_cube"], probe)
-            babies_theta = store(c["babies_theta"], theta)
-            babies_phi = store(c["babies_phi"], phi)
-            babies_logL = store(c["babies_logL"], logL_store)
-
-            x0 = jnp.where(acc[:, None], probe, c["x0"])
-            r_idx = c["r_idx"] + acc.astype(jnp.int32)
-            finished = r_idx >= R
-            r_next = jnp.minimum(r_idx, R - 1)
-            w_next = jnp.take_along_axis(ws, r_next[:, None], axis=1)[:, 0]
-            new_rep = acc & ~finished
-            tL = jnp.where(new_rep, -u_next * w_next, tL)
-            tR = jnp.where(new_rep, (1.0 - u_next) * w_next, tR)
-            rstep = jnp.where(acc, 1, rstep)
-            lstep = jnp.where(acc, 1, lstep)
-            nshrink = jnp.where(acc, 0, nshrink)
-
-            phase = jnp.where(is_ir, PH_INIT_L, phase)
-            phase = jnp.where(is_il, after_init_l, phase)
-            phase = jnp.where(done_r, jnp.where(need_l, PH_STEP_L, PH_SHRINK), phase)
-            phase = jnp.where(done_l, PH_SHRINK, phase)
-            phase = jnp.where(acc, jnp.where(finished, PH_DONE, PH_INIT_R), phase)
-
-            return dict(
+            state = dict(
                 keys=keys,
-                x0=x0,
                 tL=tL,
                 tR=tR,
-                rstep=rstep,
-                lstep=lstep,
-                nshrink=nshrink,
-                need_r=need_r,
-                need_l=need_l,
-                phase=phase.astype(jnp.int32),
-                r_idx=r_idx,
-                babies_cube=babies_cube,
-                babies_theta=babies_theta,
-                babies_phi=babies_phi,
-                babies_logL=babies_logL,
-                nlike=nlike,
-                iters=c["iters"] + 1,
+                rstep=jnp.ones((B,), jnp.int32),
+                lstep=jnp.ones((B,), jnp.int32),
+                nshrink=jnp.zeros((B,), jnp.int32),
+                need_r=jnp.zeros((B,), bool),
+                need_l=jnp.zeros((B,), bool),
+                phase=jnp.where(valid, PH_INIT_R, PH_DONE).astype(jnp.int32),
+                acc_cube=x0,
+                acc_theta=jnp.zeros((B, D), jnp.float32),
+                acc_phi=jnp.zeros((B, cfg.n_phi), jnp.float32),
+                acc_logL=jnp.full((B,), logzero, jnp.float32),
+                nlike=jnp.zeros((B,), jnp.int32),
+                iters=jnp.zeros((), jnp.int32),
             )
+            if axis_name is not None:
 
-        out = jax.lax.while_loop(cond, body, carry)
-        # Pack every output into ONE f32 buffer: device->host transfers on a
-        # tunneled TPU pay a large per-transfer latency, so the whole epoch
-        # result crosses the wire in a single array.
-        # Layout per lane: R * [cube(D), theta(D), phi(n_phi), logL] ++ nlike.
-        per_baby = jnp.concatenate(
-            [
-                out["babies_cube"],
-                out["babies_theta"],
-                out["babies_phi"],
-                out["babies_logL"][:, :, None],
-            ],
-            axis=2,
-        )  # (B, R, 2D + n_phi + 1)
-        packed = jnp.concatenate(
-            [
-                per_baby.reshape(B, R * (2 * D + cfg.n_phi + 1)),
-                out["nlike"].astype(jnp.float32),
-            ],
-            axis=1,
+                def _mark(v):
+                    if axis_name in getattr(jax.typeof(v), "vma", ()):
+                        return v
+                    return jax.lax.pvary(v, (axis_name,))
+
+                state = jax.tree.map(_mark, state)
+
+            def cond(st):
+                return jnp.any(st["phase"] != PH_DONE) & (st["iters"] < max_inner)
+
+            def body(st):
+                phase = st["phase"]
+
+                def draw(k):
+                    k2, sub = jax.random.split(k)
+                    return k2, jax.random.uniform(sub, ())
+
+                keys, u = jax.vmap(draw)(st["keys"])
+
+                # ---- probe position (pre-eval) -------------------------
+                t = jnp.where(phase == PH_INIT_R, st["tR"], 0.0)
+                t = jnp.where(phase == PH_INIT_L, st["tL"], t)
+                t = jnp.where(phase == PH_STEP_R, w * st["rstep"], t)
+                t = jnp.where(phase == PH_STEP_L, -w * st["lstep"], t)
+                t_sh = st["tL"] + u * (st["tR"] - st["tL"])
+                t = jnp.where(phase == PH_SHRINK, t_sh, t)
+
+                probe = x0 + t[:, None] * nhat
+                theta, phi, logL = calc_point_batch(probe)
+
+                inside = (logL >= bound_f) & (logL > logzero)
+                counted = (phase != PH_DONE) & (logL > logzero)
+                nlike = st["nlike"] + counted.astype(jnp.int32)
+
+                is_ir = phase == PH_INIT_R
+                is_il = phase == PH_INIT_L
+                is_sr = phase == PH_STEP_R
+                is_sl = phase == PH_STEP_L
+                is_sh = phase == PH_SHRINK
+
+                need_r = jnp.where(is_ir, inside, st["need_r"])
+                need_l = jnp.where(is_il, inside, st["need_l"])
+                after_init_l = jnp.where(
+                    need_r, PH_STEP_R, jnp.where(need_l, PH_STEP_L, PH_SHRINK)
+                )
+
+                done_r = is_sr & (~inside | (st["rstep"] >= cfg.max_step))
+                done_l = is_sl & (~inside | (st["lstep"] >= cfg.max_step))
+                tR = jnp.where(done_r, t, st["tR"])
+                tL = jnp.where(done_l, t, st["tL"])
+                rstep = jnp.where(is_sr & ~done_r, st["rstep"] + 1, st["rstep"])
+                lstep = jnp.where(is_sl & ~done_l, st["lstep"] + 1, st["lstep"])
+
+                accept = is_sh & inside
+                forced = is_sh & ~inside & (st["nshrink"] + 1 >= cfg.max_shrink)
+                acc = accept | forced
+                contract = is_sh & ~inside & ~forced
+                tR = jnp.where(contract & (t > 0.0), t, tR)
+                tL = jnp.where(contract & (t <= 0.0), t, tL)
+                nshrink = jnp.where(
+                    contract | forced, st["nshrink"] + 1, st["nshrink"]
+                )
+
+                logL_store = jnp.where(forced, logzero, logL)
+                acc_cube = jnp.where(acc[:, None], probe, st["acc_cube"])
+                acc_theta = jnp.where(acc[:, None], theta, st["acc_theta"])
+                acc_phi = jnp.where(acc[:, None], phi, st["acc_phi"])
+                acc_logL = jnp.where(acc, logL_store, st["acc_logL"])
+
+                phase = jnp.where(is_ir, PH_INIT_L, phase)
+                phase = jnp.where(is_il, after_init_l, phase)
+                phase = jnp.where(
+                    done_r, jnp.where(need_l, PH_STEP_L, PH_SHRINK), phase
+                )
+                phase = jnp.where(done_l, PH_SHRINK, phase)
+                phase = jnp.where(acc, PH_DONE, phase)
+
+                return dict(
+                    keys=keys,
+                    tL=tL,
+                    tR=tR,
+                    rstep=rstep,
+                    lstep=lstep,
+                    nshrink=nshrink,
+                    need_r=need_r,
+                    need_l=need_l,
+                    phase=phase.astype(jnp.int32),
+                    acc_cube=acc_cube,
+                    acc_theta=acc_theta,
+                    acc_phi=acc_phi,
+                    acc_logL=acc_logL,
+                    nlike=nlike,
+                    iters=st["iters"] + 1,
+                )
+
+            st = jax.lax.while_loop(cond, body, state)
+
+            # the accepted baby becomes the next repeat's start point — even a
+            # forced logzero accept, as in the reference (the chain continues
+            # from the failed probe, SliceSampling chordal_sampling.f90:85-89)
+            new_x0 = st["acc_cube"]
+            out = jnp.concatenate(
+                [
+                    st["acc_cube"],
+                    st["acc_theta"],
+                    st["acc_phi"],
+                    st["acc_logL"][:, None],
+                ],
+                axis=1,
+            )  # (B, 2D + n_phi + 1)
+            nlike_g = (
+                jax.nn.one_hot(grade, n_grades, dtype=jnp.int32)
+                * st["nlike"][:, None]
+            )  # (B, n_grades)
+            return (new_x0, st["keys"]), (out, nlike_g)
+
+        per_repeat = (
+            jnp.swapaxes(nhats, 0, 1),  # (R, B, D)
+            jnp.swapaxes(ws, 0, 1),  # (R, B)
+            jnp.swapaxes(speeds, 0, 1),  # (R, B)
         )
+        (x_final, _), (outs, nlike_g) = jax.lax.scan(
+            one_repeat, (seed_cube.astype(jnp.float32), loop_keys), per_repeat
+        )
+        # outs: (R, B, 2D+n_phi+1) -> (B, R*(2D+n_phi+1));
+        # nlike_g: (R, B, n_grades) -> (B, n_grades)
+        stride = 2 * D + cfg.n_phi + 1
+        babies = jnp.swapaxes(outs, 0, 1).reshape(B, R * stride)
+        nlike = nlike_g.sum(axis=0)
+        packed = jnp.concatenate([babies, nlike.astype(jnp.float32)], axis=1)
         return packed
 
     return epoch
@@ -295,13 +284,12 @@ def unpack_epoch(packed, cfg: EpochConfig):
     """Host-side unpack of the single epoch buffer produced by the kernel.
 
     Returns (cube (B,R,D), theta (B,R,D), phi (B,R,n_phi), logL (B,R),
-    nlike (B, n_grades)) as float64 numpy views/copies."""
+    nlike (B, n_grades)) as float64 numpy arrays."""
     import numpy as np
 
     packed = np.asarray(packed, dtype=np.float64)
     D = cfg.n_dims
     R = cfg.total_repeats
-    n_grades = len(cfg.grade_dims)
     stride = 2 * D + cfg.n_phi + 1
     B = packed.shape[0]
     per_baby = packed[:, : R * stride].reshape(B, R, stride)
