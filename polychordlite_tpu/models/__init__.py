@@ -21,8 +21,14 @@ from .examples import (
     get_likelihood,
     LIKELIHOODS,
 )
+from .data_driven import fitting, object_detection
+
+LIKELIHOODS["fitting"] = fitting
+LIKELIHOODS["object_detection"] = object_detection
 
 __all__ = [
+    "fitting",
+    "object_detection",
     "eggbox",
     "gaussian",
     "gaussian_shell",
