@@ -154,8 +154,9 @@ def nested_sampling(
         resumed = False
         if s.read_resume and resume_mod.resume_file_exists(s):
             rti, rng_state, key_saved = resume_mod.read_resume_file(s, n_grades)
-            rng.bit_generator.state = rng_state
-            key = jnp.asarray(key_saved)
+            if rng_state is not None:  # legacy-text resumes carry no RNG state
+                rng.bit_generator.state = rng_state
+                key = jnp.asarray(key_saved)
             resumed = True
             _feedback(s, 1, "Resuming from previous run")
         elif s.cube_samples is not None:

@@ -91,8 +91,20 @@ def write_resume_file(s: PolyChordSettings, rti: RunTimeInfo, rng, key) -> None:
 
 def read_resume_file(s: PolyChordSettings, n_grades: int):
     """Returns (rti, rng_state, key). Halts on dimension/grade mismatch
-    (read_write.F90:401-417 semantics)."""
-    with open(resume_path(s), "rb") as f:
+    (read_write.F90:401-417 semantics).
+
+    Auto-detects the format: native pickle checkpoints, or the reference's
+    Fortran text format (so runs started by PolyChordLite itself — or forged
+    by pypolychord's cube_samples — resume directly)."""
+    path = resume_path(s)
+    with open(path, "rb") as f:
+        magic = f.read(1)
+    if magic == b"=":  # legacy text format starts with '=== ... ==='
+        from .legacy_resume import read_legacy_resume
+
+        rti = read_legacy_resume(path, s, n_grades)
+        return rti, None, None
+    with open(path, "rb") as f:
         payload = pickle.load(f)
     if payload["nDims"] != s.nDims or payload["nDerived"] != s.nDerived:
         raise ValueError(
