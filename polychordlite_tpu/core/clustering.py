@@ -16,12 +16,16 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops.linalg import similarity_matrix_np
+from ..utils import native
 from .rti import RunTimeInfo, add_cluster
 
 
 def _knn_indices(sim: np.ndarray, k: int) -> np.ndarray:
     """Indices of the k nearest neighbours of each point (self included,
     as in compute_knn, clustering.f90:134-174). Returns (n, k)."""
+    knn = native.compute_knn(sim, k)
+    if knn is not None:
+        return knn
     order = np.argsort(sim, axis=1, kind="stable")
     return order[:, :k]
 
@@ -53,6 +57,9 @@ def _cluster_with_k(knn: np.ndarray) -> np.ndarray:
     first entry is the point itself) — the reference's `neighbours` test is
     `any(knn1==knn2(1)) .or. any(knn2==knn1(1))`, i.e. i in knn_j or j in
     knn_i (the first neighbour of a point is itself)."""
+    labels = native.mutual_knn_cluster(knn)
+    if labels is not None:
+        return labels
     n, k = knn.shape
     # membership[i, j] = True iff j is among i's k nearest neighbours
     member = np.zeros((n, n), dtype=bool)

@@ -334,23 +334,30 @@ def identify_cluster(rti: RunTimeInfo, point: np.ndarray) -> int:
     (run_time_info.f90:913-949). Vectorised over all live points."""
     if rti.ncluster == 1:
         return 0
-    s = rti.settings
-    best_c, best_d = 0, np.inf
-    x = point[s.h]
-    for p in range(rti.ncluster):
-        if rti.live[p].shape[0] == 0:
-            continue
-        d = np.min(((rti.live[p][:, s.h] - x) ** 2).sum(axis=1))
-        if d < best_d:
-            best_d, best_c = d, p
-    return best_c
+    return int(identify_clusters_batch(rti, point[None])[0])
 
 
 def identify_clusters_batch(rti: RunTimeInfo, points: np.ndarray) -> np.ndarray:
-    """Vectorised ``identify_cluster`` for a batch of points (rows)."""
+    """Vectorised ``identify_cluster`` for a batch of points (rows); native
+    C kernel when available (utils/native.py)."""
     if rti.ncluster == 1:
         return np.zeros(points.shape[0], dtype=int)
     s = rti.settings
+
+    from ..utils import native
+
+    if native.has_native():
+        live_all = np.concatenate([c[:, s.h] for c in rti.live], axis=0)
+        cluster_of_live = np.concatenate(
+            [np.full(c.shape[0], p, dtype=np.int32) for p, c in enumerate(rti.live)]
+        )
+        if live_all.shape[0]:
+            out = native.identify_clusters(
+                points[:, s.h], live_all, cluster_of_live
+            )
+            if out is not None:
+                return out
+
     x = points[:, s.h]
     best_d = np.full(points.shape[0], np.inf)
     best_c = np.zeros(points.shape[0], dtype=int)
