@@ -114,20 +114,27 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
 
         def one_repeat(carry, per_repeat):
             """One slice sample per lane (slice_sample,
-            chordal_sampling.f90:163-273), vectorised over the batch."""
-            x0, keys = carry
-            nhat, w, grade = per_repeat  # (B,D), (B,), (B,)
+            chordal_sampling.f90:163-273), vectorised over the batch.
 
-            def draw2(k):
-                k2, sub = jax.random.split(k)
-                return k2, jax.random.uniform(sub, (2,))
+            All randomness is counter-based: draw(lane, repeat, iteration) =
+            uniform(fold_in(fold_in(lane_key, repeat), iteration)).  Each
+            lane advances exactly one transition per inner iteration, so its
+            k-th iteration index is k regardless of how long OTHER lanes'
+            loops run — results are bitwise independent of the sharding
+            (threading a split key through the loop would couple lanes to
+            the local batch's convergence length)."""
+            x0 = carry
+            nhat, w, grade, r_idx = per_repeat  # (B,D), (B,), (B,), ()
 
-            keys, u0 = jax.vmap(draw2)(keys)
-            tL = -u0[:, 0] * w
-            tR = (1.0 - u0[:, 0]) * w
+            rep_keys = jax.vmap(lambda k: jax.random.fold_in(k, r_idx))(loop_keys)
+
+            u0 = jax.vmap(
+                lambda k: jax.random.uniform(jax.random.fold_in(k, 2**30), ())
+            )(rep_keys)
+            tL = -u0 * w
+            tR = (1.0 - u0) * w
 
             state = dict(
-                keys=keys,
                 tL=tL,
                 tR=tR,
                 rstep=jnp.ones((B,), jnp.int32),
@@ -157,12 +164,10 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
 
             def body(st):
                 phase = st["phase"]
-
-                def draw(k):
-                    k2, sub = jax.random.split(k)
-                    return k2, jax.random.uniform(sub, ())
-
-                keys, u = jax.vmap(draw)(st["keys"])
+                it = st["iters"]
+                u = jax.vmap(
+                    lambda k: jax.random.uniform(jax.random.fold_in(k, it), ())
+                )(rep_keys)
 
                 # ---- probe position (pre-eval) -------------------------
                 t = jnp.where(phase == PH_INIT_R, st["tR"], 0.0)
@@ -223,7 +228,6 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
                 phase = jnp.where(acc, PH_DONE, phase)
 
                 return dict(
-                    keys=keys,
                     tL=tL,
                     tR=tR,
                     rstep=rstep,
@@ -259,15 +263,16 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
                 jax.nn.one_hot(grade, n_grades, dtype=jnp.int32)
                 * st["nlike"][:, None]
             )  # (B, n_grades)
-            return (new_x0, st["keys"]), (out, nlike_g)
+            return new_x0, (out, nlike_g)
 
         per_repeat = (
             jnp.swapaxes(nhats, 0, 1),  # (R, B, D)
             jnp.swapaxes(ws, 0, 1),  # (R, B)
             jnp.swapaxes(speeds, 0, 1),  # (R, B)
+            jnp.arange(R),  # repeat indices for the RNG streams
         )
-        (x_final, _), (outs, nlike_g) = jax.lax.scan(
-            one_repeat, (seed_cube.astype(jnp.float32), loop_keys), per_repeat
+        x_final, (outs, nlike_g) = jax.lax.scan(
+            one_repeat, seed_cube.astype(jnp.float32), per_repeat
         )
         # outs: (R, B, 2D+n_phi+1) -> (B, R*(2D+n_phi+1));
         # nlike_g: (R, B, n_grades) -> (B, n_grades)

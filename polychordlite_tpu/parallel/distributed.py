@@ -1,0 +1,39 @@
+"""Multi-host initialisation.
+
+The reference scales across nodes with ``mpirun`` (every rank runs the same
+binary; rank assignment inside ``NestedSampling`` — SURVEY §5.8).  The
+TPU-native equivalent is JAX multi-controller SPMD: every host runs the same
+program, ``jax.distributed.initialize`` wires the processes together, and the
+chain batch shards over the global mesh exactly as it does over local
+devices (the epoch issues no collectives, so scaling is linear and the
+per-lane RNG keeps results identical to a single-host run of the same total
+batch).
+
+Host-side administration runs redundantly-deterministically on every process
+(same seeds, same numpy state), which is the single-controller analogue of
+the reference's broadcast-free synchronous mode; only process 0 writes files.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def initialise_distributed(
+    coordinator_address=None, num_processes=None, process_id=None
+) -> int:
+    """Initialise multi-host JAX if requested via arguments or the standard
+    JAX_COORDINATOR_ADDRESS / cluster auto-detection.  Returns the process
+    index (0 on single-host)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()
+
+
+def is_root() -> bool:
+    """True on the process that owns file output (rank 0 in the reference)."""
+    return jax.process_index() == 0
