@@ -46,7 +46,7 @@ def c_baseline_rate(seconds: float = 2.0) -> float:
         return 6.1e6  # measured on this image 2026-08 (gcc -O3, 20-D gaussian)
 
 
-def kernel_evals_per_s(B: int = 2048, n_dims: int = 20, num_repeats: int = 100):
+def kernel_evals_per_s(B: int = 8192, n_dims: int = 20, num_repeats: int = 100):
     """Measured likelihood evals/s of the batched slice engine on one chip."""
     import jax
     import jax.numpy as jnp

@@ -131,8 +131,9 @@ def nested_sampling(
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 
-    _feedback(s, 1, f"PolyChordLite-TPU: nested sampling on {jax.devices()[0].platform}")
-    _feedback(s, 1, f"version {__version__} | nDims {s.nDims} | nlive {s.nlive}")
+    from ..utils import feedback as fb
+
+    fb.write_opening_statement(s, __version__, jax.devices()[0].platform)
 
     # --- likelihood/prior evaluation path ----------------------------------
     calc = make_batched_calculator(
@@ -272,13 +273,8 @@ def nested_sampling(
                     frac = math.exp(
                         min(live_logZ(rti) - rti.logZ, 700.0)
                     ) if rti.logZ > s.logzero else float("inf")
-                    _feedback(
-                        s,
-                        1,
-                        f"ndead: {rti.ndead:7d} | logZ: {logZ:10.3f} "
-                        f"+/- {math.sqrt(abs(varlogZ)):6.3f} | "
-                        f"nclusters: {rti.ncluster} | "
-                        f"live frac: {frac:.3e} | nlike: {rti.nlike.sum()}",
+                    fb.write_intermediate_results(
+                        s, rti, nlikesum, logZ, varlogZ, frac
                     )
                     nlikesum[:] = 0
                     if s.do_clustering:
@@ -320,13 +316,11 @@ def nested_sampling(
                 f"Warning, unable to proceed after {failures} failed spawn events",
                 flush=True,
             )
-        _feedback(
-            s,
-            1,
-            f"Finished: logZ = {logZ:.4f} +/- {math.sqrt(abs(varlogZ)):.4f} | "
-            f"ndead {rti.ndead} | nlike {rti.nlike.tolist()} | "
-            f"{time.time() - t_start:.1f}s",
-        )
+        if s.feedback >= 0:
+            fb.write_final_results(
+                logZ, varlogZ, rti.ndead, rti.nlike.tolist(),
+                time.time() - t_start, s.feedback,
+            )
 
         return {
             "logZ": float(logZ),
