@@ -125,6 +125,39 @@ class TestSliceEngine:
         assert np.all(d > 0)
 
 
+class TestFusedMatchesScan:
+    def test_bitwise_identical_to_scan_engine(self):
+        """The experimental fused persistent-lane engine must produce
+        bit-identical output to the default scan-over-repeats engine
+        (counter-based RNG guarantees the per-(lane, repeat, iteration)
+        streams coincide)."""
+        from polychordlite_tpu.ops.slice_kernel import build_epoch_fn_fused
+
+        D, B = 3, 32
+
+        def loglike(theta):
+            return -jnp.sum((theta - 0.5) ** 2)
+
+        calc = make_batched_calculator(
+            prior_fn=lambda c: c, loglike_fn=loglike, n_dims=D, n_derived=1
+        )
+        cfg = EpochConfig(
+            n_dims=D, n_phi=calc.n_phi, grade_dims=(2, 1), num_repeats=(6, 3)
+        )
+        fused = jax.jit(build_epoch_fn_fused(calc, cfg))
+        scan = jax.jit(build_epoch_fn(calc, cfg))
+
+        key = jax.random.PRNGKey(11)
+        seeds = jnp.full((B, D), 0.5).at[3].set(0.42)
+        bounds = jnp.full((B,), -0.09)
+        chol = jnp.broadcast_to(0.7 * jnp.eye(D), (B, D, D))
+        valid = jnp.ones((B,), bool).at[5].set(False)
+
+        a = np.asarray(fused(key, seeds, bounds, chol, valid))
+        b = np.asarray(scan(key, seeds, bounds, chol, valid))
+        assert np.array_equal(a, b)
+
+
 class TestHardWall:
     def test_logzero_region_is_excluded(self):
         """Points with logL <= logzero act as hard walls
