@@ -76,7 +76,8 @@ def kernel_evals_per_s(B: int = 8192, n_dims: int = 20, num_repeats: int = 100):
     @jax.jit
     def epoch(key, seeds, bounds, chol, valid):
         packed = raw_epoch(key, seeds, bounds, chol, valid)
-        return packed[:, -n_grades:].astype(jnp.int32).sum(axis=0)
+        # last column is the overflow flag; the n_grades before it are nlike
+        return packed[:, -(n_grades + 1) : -1].astype(jnp.int32).sum(axis=0)
 
     # a realistic mid-run state: seeds at gaussian draws, contour at r ~ 1.5
     # sigma*sqrt(D), whitened widths from the true covariance

@@ -7,40 +7,66 @@ B independent chains advance together, and every step of the inner loop
 performs ONE batched likelihood evaluation of all B probe points, so
 likelihood FLOPs always reach the MXU/VPU in (B, D) batches.
 
-Structure (chosen for XLA/TPU memory behaviour):
+Two engines share one contract and produce bitwise-identical output (tested):
 
-* an outer ``lax.scan`` over the R slice repeats — repeats are sequential in
-  the reference too (one chord at a time per chain); the scan emits each
-  repeat's accepted babies as stacked outputs, so no (B, R, ·) buffer is ever
-  scattered into inside a loop carry (a (B,R,·) carry makes every iteration
-  cost O(B·R) in HBM rewrites);
-* an inner masked ``lax.while_loop`` over the per-lane state machine for one
-  repeat (Neal 2003, mirroring ``slice_sample`` chordal_sampling.f90:163-273):
+* ``engine="scan"`` — outer ``lax.scan`` over the R slice repeats, inner
+  masked ``lax.while_loop`` per repeat.  Simple, but every repeat waits for
+  the slowest of B lanes (~15% lane efficiency measured at B=8192).
+* ``engine="ring"`` — ONE persistent ``lax.while_loop``; each lane advances
+  through its own R repeats independently, so the tail sync happens once per
+  epoch instead of once per repeat.  The TPU-pathological per-lane output
+  scatter is avoided by construction:
+    - accepted babies are appended to an iteration-indexed ring buffer
+      (scalar-index ``dynamic_update_slice``, never a per-lane scatter),
+      with the repeat index recorded as a per-slot sort key;
+    - ONE post-loop per-lane integer sort of (repeat, slot) pairs plus ONE
+      batched row gather reorders the ring into repeat order;
+    - theta/phi are re-derived from the accepted cubes in one batched
+      post-loop evaluation (not counted in nlike) instead of being carried
+      through the loop.
+  If a pathological epoch exhausts the ring (> ring_factor iterations per
+  repeat on the slowest lane), the engine raises an overflow flag and the
+  runner re-runs the epoch with the scan engine — results stay identical.
 
-      INIT_R  evaluate right end of the random interval [x0-u·w, x0+(1-u)·w]
-      INIT_L  evaluate left end
-      STEP_R  expand right bound in unit-w steps while inside the contour
-      STEP_L  expand left bound likewise
-      SHRINK  draw uniformly in (tL, tR); accept if inside, else contract the
-              side the draw fell on; after ``max_shrink`` failures the point
-              is returned with logL = logzero ("non-deterministic
-              loglikelihood" guard, chordal_sampling.f90:268-271)
-      DONE    lane finished this repeat (idles until the batch converges)
+  MEASURED VERDICT (v5e-lite, B=8192, R=100, 20-D): the scan engine wins by
+  ~8x.  Per-lane dynamically-indexed memory ops (the direction gather and
+  the per-slot sort-key write) cost 30-60us/iteration each on TPU — 6-12x a
+  whole lockstep body — so the ring engine's 5x iteration saving is wiped
+  out by a ~30x per-iteration penalty, and worst-lane totals exceed 12
+  iterations/repeat (ring overflow).  The scan engine touches memory only at
+  lockstep (scalar) indices and is ~2x above the empty-loop floor; remaining
+  headroom lies with a Pallas kernel that indexes per-lane state in VMEM
+  manually, not with XLA loop restructuring.  The ring engine is kept as a
+  tested, semantically-identical alternative for hardware where per-lane
+  gather/scatter is cheap (CPU) and as the blueprint for that Pallas kernel.
 
-  All inner state is (B,)- or (B,D)-shaped — the loop interior is
-  independent of R.
+Per-lane state machine for one repeat (Neal 2003, mirroring ``slice_sample``
+chordal_sampling.f90:163-273):
+
+    INIT_R  draw u, set the random interval [x0-u*w, x0+(1-u)*w], evaluate
+            its right end
+    INIT_L  evaluate left end
+    STEP_R  expand right bound in unit-w steps while inside the contour
+    STEP_L  expand left bound likewise
+    SHRINK  draw uniformly in (tL, tR); accept if inside, else contract the
+            side the draw fell on; after ``max_shrink`` failures the point
+            is returned with logL = logzero ("non-deterministic
+            loglikelihood" guard, chordal_sampling.f90:268-271)
+    DONE    lane finished all its work
 
 Because each chain's chord is parameterised by the scalar coordinate t
-(probe = x0 + t·n̂, |n̂| = 1), the slice bounds are two scalars per lane.
+(probe = x0 + t*n̂, |n̂| = 1), the slice bounds are two scalars per lane.
 
-Randomness comes from per-lane counter-based keys (fold_in of the epoch key
-with the *global* lane index), making results bitwise independent of how the
-chain batch is sharded across devices.
+Randomness is counter-based per (lane, repeat, iteration-within-repeat):
+u = uniform(fold_in(fold_in(fold_in(epoch_key, 2*lane+1), repeat), it)).
+The INIT_R iteration's draw (it=0) doubles as the initial-interval position.
+Draws never depend on when other lanes converge, which is what makes the two
+engines bitwise-identical and the results independent of how the chain batch
+is sharded across devices.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -58,6 +84,7 @@ PH_SHRINK = 4
 PH_DONE = 5
 
 
+
 class EpochConfig(NamedTuple):
     """Static configuration of the slice engine (shapes are compile-time)."""
 
@@ -68,24 +95,62 @@ class EpochConfig(NamedTuple):
     logzero: float = LOG_ZERO
     max_step: int = 200   # stepping-out cap (reference warns past 100 and has no cap)
     max_shrink: int = 100  # shrinkage cap (chordal_sampling.f90:240-271)
+    engine: str = "scan"   # "scan" (per-repeat, default) or "ring" (fused per-lane)
+    ring_factor: int = 12  # ring engine: ring slots per repeat before overflow
 
     @property
     def total_repeats(self) -> int:
         return int(sum(self.num_repeats))
 
 
+def _lane_keys(key, B, axis_name):
+    """Per-lane direction/loop keys from *global* lane indices (shard-safe)."""
+    if axis_name is not None:
+        offset = jax.lax.axis_index(axis_name) * B
+    else:
+        offset = 0
+    lane_ids = offset + jnp.arange(B)
+    dir_keys = jax.vmap(lambda i: jax.random.fold_in(key, 2 * i))(lane_ids)
+    loop_keys = jax.vmap(lambda i: jax.random.fold_in(key, 2 * i + 1))(lane_ids)
+    return dir_keys, loop_keys
+
+
+def _mark_vma(state, axis_name):
+    """Inside shard_map, mark loop carries as varying over the chains axis."""
+    if axis_name is None:
+        return state
+
+    def _mark(v):
+        if axis_name in getattr(jax.typeof(v), "vma", ()):
+            return v
+        return jax.lax.pvary(v, (axis_name,))
+
+    return jax.tree.map(_mark, state)
+
+
 def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] = None):
-    """Build the jittable epoch function (scan-over-repeats engine).
+    """Build the jittable epoch function for ``cfg.engine``.
 
     ``epoch(key, seed_cube, bound, cholesky, lane_valid)`` runs one slice
-    chain per lane and returns a single packed (B, R*(2D+n_phi+1)+n_grades)
-    f32 buffer (see :func:`unpack_epoch`) — one device->host transfer per
-    epoch.
+    chain per lane and returns a single packed
+    (B, R*(2D+n_phi+1) + n_grades + 1) f32 buffer (see :func:`unpack_epoch`;
+    the final column is the ring-overflow flag, always 0 for the scan
+    engine) — one device->host transfer per epoch.
 
     ``axis_name`` is set when running inside ``shard_map`` over the chain
     batch; it only affects the *global* lane indices of the per-lane RNG
     streams (no collectives — the epoch is embarrassingly parallel).
     """
+    if cfg.engine == "ring":
+        return build_epoch_fn_ring(calc_point_batch, cfg, axis_name)
+    return build_epoch_fn_scan(calc_point_batch, cfg, axis_name)
+
+
+def build_epoch_fn_scan(
+    calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] = None
+):
+    """Scan-over-repeats engine (the bitwise oracle for the ring engine, and
+    the overflow fallback)."""
     D = cfg.n_dims
     R = cfg.total_repeats
     n_grades = len(cfg.grade_dims)
@@ -94,13 +159,7 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
 
     def epoch(key, seed_cube, bound, cholesky, lane_valid):
         B = seed_cube.shape[0]
-        if axis_name is not None:
-            offset = jax.lax.axis_index(axis_name) * B
-        else:
-            offset = 0
-        lane_ids = offset + jnp.arange(B)
-        dir_keys = jax.vmap(lambda i: jax.random.fold_in(key, 2 * i))(lane_ids)
-        loop_keys = jax.vmap(lambda i: jax.random.fold_in(key, 2 * i + 1))(lane_ids)
+        dir_keys, loop_keys = _lane_keys(key, B, axis_name)
 
         nhats, ws, speeds = make_directions(
             dir_keys,
@@ -116,27 +175,19 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
             """One slice sample per lane (slice_sample,
             chordal_sampling.f90:163-273), vectorised over the batch.
 
-            All randomness is counter-based: draw(lane, repeat, iteration) =
-            uniform(fold_in(fold_in(lane_key, repeat), iteration)).  Each
-            lane advances exactly one transition per inner iteration, so its
-            k-th iteration index is k regardless of how long OTHER lanes'
-            loops run — results are bitwise independent of the sharding
-            (threading a split key through the loop would couple lanes to
-            the local batch's convergence length)."""
+            Each lane advances exactly one transition per inner iteration,
+            so its k-th iteration index is k regardless of how long OTHER
+            lanes' loops run — results are bitwise independent of the
+            sharding (threading a split key through the loop would couple
+            lanes to the local batch's convergence length)."""
             x0 = carry
             nhat, w, grade, r_idx = per_repeat  # (B,D), (B,), (B,), ()
 
             rep_keys = jax.vmap(lambda k: jax.random.fold_in(k, r_idx))(loop_keys)
 
-            u0 = jax.vmap(
-                lambda k: jax.random.uniform(jax.random.fold_in(k, 2**30), ())
-            )(rep_keys)
-            tL = -u0 * w
-            tR = (1.0 - u0) * w
-
             state = dict(
-                tL=tL,
-                tR=tR,
+                tL=jnp.zeros((B,), jnp.float32),
+                tR=jnp.zeros((B,), jnp.float32),
                 rstep=jnp.ones((B,), jnp.int32),
                 lstep=jnp.ones((B,), jnp.int32),
                 nshrink=jnp.zeros((B,), jnp.int32),
@@ -150,14 +201,7 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
                 nlike=jnp.zeros((B,), jnp.int32),
                 iters=jnp.zeros((), jnp.int32),
             )
-            if axis_name is not None:
-
-                def _mark(v):
-                    if axis_name in getattr(jax.typeof(v), "vma", ()):
-                        return v
-                    return jax.lax.pvary(v, (axis_name,))
-
-                state = jax.tree.map(_mark, state)
+            state = _mark_vma(state, axis_name)
 
             def cond(st):
                 return jnp.any(st["phase"] != PH_DONE) & (st["iters"] < max_inner)
@@ -169,12 +213,17 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
                     lambda k: jax.random.uniform(jax.random.fold_in(k, it), ())
                 )(rep_keys)
 
+                is_ir = phase == PH_INIT_R
+                # INIT_R consumes its draw as the initial interval position
+                tL = jnp.where(is_ir, -u * w, st["tL"])
+                tR = jnp.where(is_ir, (1.0 - u) * w, st["tR"])
+
                 # ---- probe position (pre-eval) -------------------------
-                t = jnp.where(phase == PH_INIT_R, st["tR"], 0.0)
-                t = jnp.where(phase == PH_INIT_L, st["tL"], t)
+                t = jnp.where(is_ir, tR, 0.0)
+                t = jnp.where(phase == PH_INIT_L, tL, t)
                 t = jnp.where(phase == PH_STEP_R, w * st["rstep"], t)
                 t = jnp.where(phase == PH_STEP_L, -w * st["lstep"], t)
-                t_sh = st["tL"] + u * (st["tR"] - st["tL"])
+                t_sh = tL + u * (tR - tL)
                 t = jnp.where(phase == PH_SHRINK, t_sh, t)
 
                 probe = x0 + t[:, None] * nhat
@@ -184,7 +233,6 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
                 counted = (phase != PH_DONE) & (logL > logzero)
                 nlike = st["nlike"] + counted.astype(jnp.int32)
 
-                is_ir = phase == PH_INIT_R
                 is_il = phase == PH_INIT_L
                 is_sr = phase == PH_STEP_R
                 is_sl = phase == PH_STEP_L
@@ -198,8 +246,8 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
 
                 done_r = is_sr & (~inside | (st["rstep"] >= cfg.max_step))
                 done_l = is_sl & (~inside | (st["lstep"] >= cfg.max_step))
-                tR = jnp.where(done_r, t, st["tR"])
-                tL = jnp.where(done_l, t, st["tL"])
+                tR = jnp.where(done_r, t, tR)
+                tL = jnp.where(done_l, t, tL)
                 rstep = jnp.where(is_sr & ~done_r, st["rstep"] + 1, st["rstep"])
                 lstep = jnp.where(is_sl & ~done_l, st["lstep"] + 1, st["lstep"])
 
@@ -279,53 +327,39 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
         stride = 2 * D + cfg.n_phi + 1
         babies = jnp.swapaxes(outs, 0, 1).reshape(B, R * stride)
         nlike = nlike_g.sum(axis=0)
-        packed = jnp.concatenate([babies, nlike.astype(jnp.float32)], axis=1)
+        packed = jnp.concatenate(
+            [
+                babies,
+                nlike.astype(jnp.float32),
+                jnp.zeros((B, 1), jnp.float32),  # overflow flag (never set)
+            ],
+            axis=1,
+        )
         return packed
 
     return epoch
 
 
-def build_epoch_fn_fused(
+def build_epoch_fn_ring(
     calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] = None
 ):
-    """Fused persistent-lane engine (EXPERIMENTAL — not the default).
+    """Fused persistent-lane engine with ring-buffer baby recording.
 
-    Same contract as :func:`build_epoch_fn` and bitwise-identical output
-    (tested), but each lane advances through its OWN R repeats inside one
-    ``lax.while_loop``: a lane that accepts repeat r immediately starts
-    repeat r+1 next iteration, instead of idling until the slowest lane of
-    the batch finishes r.  With the scan engine the batch pays
-    R x max-per-repeat iterations (lane efficiency ~9% measured at B=8192);
-    fused, it pays max-over-lanes of the per-lane totals — the tail sync
-    happens once per epoch rather than once per repeat.
-
-    Measured on TPU this is ~30x SLOWER than the scan engine at B=8192,
-    R=100: the per-lane dynamic direction gather and baby scatter each
-    iteration lower to serialised per-index TPU gather/scatter.  Kept as the
-    semantic stepping stone for the Pallas kernel (which gets per-lane
-    progress with VMEM-resident state instead of HBM gather/scatter).
-
-    Bitwise identity holds because the randomness is counter-based per
-    (lane, repeat, iteration-within-repeat): draws never depend on when other
-    lanes converge, in either engine.
+    See the module docstring for the design; bitwise-identical to
+    :func:`build_epoch_fn_scan` (tested) whenever the ring does not
+    overflow, and flags overflow otherwise.
     """
     D = cfg.n_dims
     R = cfg.total_repeats
     n_grades = len(cfg.grade_dims)
     logzero = cfg.logzero
     stride = 2 * D + cfg.n_phi + 1
-    max_total = R * (2 * cfg.max_step + cfg.max_shrink + 4)
-    U0_CODE = 2**30  # iteration code reserved for the initial-interval draw
+    T_ring = R * cfg.ring_factor + 1  # slot 0 reserved for the default entry
+    max_total = T_ring - 1
 
     def epoch(key, seed_cube, bound, cholesky, lane_valid):
         B = seed_cube.shape[0]
-        if axis_name is not None:
-            offset = jax.lax.axis_index(axis_name) * B
-        else:
-            offset = 0
-        lane_ids = offset + jnp.arange(B)
-        dir_keys = jax.vmap(lambda i: jax.random.fold_in(key, 2 * i))(lane_ids)
-        loop_keys = jax.vmap(lambda i: jax.random.fold_in(key, 2 * i + 1))(lane_ids)
+        dir_keys, loop_keys = _lane_keys(key, B, axis_name)
 
         nhats, ws, speeds = make_directions(
             dir_keys,
@@ -334,49 +368,39 @@ def build_epoch_fn_fused(
             num_repeats=cfg.num_repeats,
             n_dims=D,
         )  # (B,R,D), (B,R), (B,R)
+
         bound_f = bound.astype(jnp.float32)
         x0 = seed_cube.astype(jnp.float32)
         valid = lane_valid
 
-        def draw(rep, code):
-            """uniform(fold_in(fold_in(lane_key, repeat), code)) per lane —
-            the same counter-based stream as the scan engine."""
+        def draw(rep, it):
             return jax.vmap(
                 lambda k, r, c: jax.random.uniform(
                     jax.random.fold_in(jax.random.fold_in(k, r), c), ()
                 )
-            )(loop_keys, rep, code)
+            )(loop_keys, rep, it)
 
         def gather_repeat(rep):
-            """Per-lane direction/width/grade of repeat ``rep`` (clipped)."""
             idx = jnp.minimum(rep, R - 1)
             nhat = jnp.take_along_axis(nhats, idx[:, None, None], axis=1)[:, 0]
             w = jnp.take_along_axis(ws, idx[:, None], axis=1)[:, 0]
             grade = jnp.take_along_axis(speeds, idx[:, None], axis=1)[:, 0]
             return nhat, w, grade
 
-        rep0 = jnp.zeros((B,), jnp.int32)
+        rep0 = jnp.where(valid, 0, R).astype(jnp.int32)
         nhat0, w0, grade0 = gather_repeat(rep0)
-        u0 = draw(rep0, jnp.full((B,), U0_CODE, jnp.int32))
 
-        # Output buffer pre-filled with the scan engine's never-accepted
-        # defaults (cube = seed, theta/phi = 0, logL = logzero) so invalid
-        # lanes emit identical rows.
-        out0 = jnp.concatenate(
-            [
-                jnp.broadcast_to(x0[:, None, :], (B, R, D)),
-                jnp.zeros((B, R, D + cfg.n_phi), jnp.float32),
-                jnp.full((B, R, 1), logzero, jnp.float32),
-            ],
-            axis=2,
-        )
+        # ring slot 0 = the never-accepted default entry (seed cube, logzero)
+        ring0 = jnp.zeros((B, T_ring, D + 1), jnp.float32)
+        ring0 = ring0.at[:, 0, :D].set(x0)
+        ring0 = ring0.at[:, 0, D].set(logzero)
 
         state = dict(
-            rep=jnp.where(valid, 0, R).astype(jnp.int32),
+            rep=rep0,
             it=jnp.zeros((B,), jnp.int32),
             phase=jnp.where(valid, PH_INIT_R, PH_DONE).astype(jnp.int32),
-            tL=-u0 * w0,
-            tR=(1.0 - u0) * w0,
+            tL=jnp.zeros((B,), jnp.float32),
+            tR=jnp.zeros((B,), jnp.float32),
             rstep=jnp.ones((B,), jnp.int32),
             lstep=jnp.ones((B,), jnp.int32),
             nshrink=jnp.zeros((B,), jnp.int32),
@@ -386,46 +410,45 @@ def build_epoch_fn_fused(
             nhat=nhat0,
             w=w0,
             grade=grade0,
-            out=out0,
+            ring=ring0,
+            # per-slot sort key: the repeat the slot's baby belongs to, or
+            # T_ring (sentinel) for non-accepting iterations
+            ring_rep=jnp.full((B, T_ring), T_ring, jnp.int32),
             nlike_g=jnp.zeros((B, n_grades), jnp.int32),
-            total_iters=jnp.zeros((), jnp.int32),
+            iters=jnp.zeros((), jnp.int32),
         )
-        if axis_name is not None:
-
-            def _mark(v):
-                if axis_name in getattr(jax.typeof(v), "vma", ()):
-                    return v
-                return jax.lax.pvary(v, (axis_name,))
-
-            state = jax.tree.map(_mark, state)
+        state = _mark_vma(state, axis_name)
 
         def cond(st):
-            return jnp.any(st["phase"] != PH_DONE) & (st["total_iters"] < max_total)
+            return jnp.any(st["phase"] != PH_DONE) & (st["iters"] < max_total)
 
         def body(st):
             phase = st["phase"]
             w = st["w"]
             u = draw(st["rep"], st["it"])
 
-            # ---- probe position (identical to the scan engine) ----------
-            t = jnp.where(phase == PH_INIT_R, st["tR"], 0.0)
-            t = jnp.where(phase == PH_INIT_L, st["tL"], t)
+            is_ir = phase == PH_INIT_R
+            tL = jnp.where(is_ir, -u * w, st["tL"])
+            tR = jnp.where(is_ir, (1.0 - u) * w, st["tR"])
+
+            t = jnp.where(is_ir, tR, 0.0)
+            t = jnp.where(phase == PH_INIT_L, tL, t)
             t = jnp.where(phase == PH_STEP_R, w * st["rstep"], t)
             t = jnp.where(phase == PH_STEP_L, -w * st["lstep"], t)
-            t_sh = st["tL"] + u * (st["tR"] - st["tL"])
+            t_sh = tL + u * (tR - tL)
             t = jnp.where(phase == PH_SHRINK, t_sh, t)
 
             probe = st["x0"] + t[:, None] * st["nhat"]
-            theta, phi, logL = calc_point_batch(probe)
+            theta, phi, logL = calc_point_batch(probe)  # theta/phi DCE'd
 
             inside = (logL >= bound_f) & (logL > logzero)
-            counted = (phase != PH_DONE) & (logL > logzero)
+            engaged = phase != PH_DONE
+            counted = engaged & (logL > logzero)
             nlike_g = st["nlike_g"] + (
                 jax.nn.one_hot(st["grade"], n_grades, dtype=jnp.int32)
                 * counted.astype(jnp.int32)[:, None]
             )
 
-            is_ir = phase == PH_INIT_R
             is_il = phase == PH_INIT_L
             is_sr = phase == PH_STEP_R
             is_sl = phase == PH_STEP_L
@@ -439,8 +462,8 @@ def build_epoch_fn_fused(
 
             done_r = is_sr & (~inside | (st["rstep"] >= cfg.max_step))
             done_l = is_sl & (~inside | (st["lstep"] >= cfg.max_step))
-            tR = jnp.where(done_r, t, st["tR"])
-            tL = jnp.where(done_l, t, st["tL"])
+            tR = jnp.where(done_r, t, tR)
+            tL = jnp.where(done_l, t, tL)
             rstep = jnp.where(is_sr & ~done_r, st["rstep"] + 1, st["rstep"])
             lstep = jnp.where(is_sl & ~done_l, st["lstep"] + 1, st["lstep"])
 
@@ -457,30 +480,33 @@ def build_epoch_fn_fused(
             phase = jnp.where(done_r, jnp.where(need_l, PH_STEP_L, PH_SHRINK), phase)
             phase = jnp.where(done_l, PH_SHRINK, phase)
 
-            # ---- acceptance: store the baby and start the next repeat ----
-            baby = jnp.concatenate(
-                [probe, theta, phi, jnp.where(forced, logzero, logL)[:, None]],
-                axis=1,
-            )  # (B, stride)
-            # out-of-range index R on non-accepting lanes → row dropped
-            write_rep = jnp.where(acc, st["rep"], R)
-            out = st["out"].at[jnp.arange(B), write_rep].set(
-                baby, mode="drop", indices_are_sorted=True, unique_indices=True
+            # ---- record the baby: ring append at this iteration's slot ----
+            slot = st["iters"] + 1  # scalar index -> dynamic_update_slice
+            entry = jnp.concatenate(
+                [probe, jnp.where(forced, logzero, logL)[:, None]], axis=1
+            )
+            ring = jax.lax.dynamic_update_slice(
+                st["ring"], entry[:, None, :], (0, slot, 0)
+            )
+            rep_key = jnp.where(acc, st["rep"], T_ring)
+            ring_rep = jax.lax.dynamic_update_slice(
+                st["ring_rep"], rep_key[:, None], (0, slot)
             )
 
             new_rep = jnp.where(acc, st["rep"] + 1, st["rep"])
+            finished = acc & (new_rep >= R)
+            phase = jnp.where(
+                acc, jnp.where(finished, PH_DONE, PH_INIT_R), phase
+            ).astype(jnp.int32)
+
             nhat_n, w_n, grade_n = gather_repeat(new_rep)
-            u0_n = draw(new_rep, jnp.full((B,), U0_CODE, jnp.int32))
-            start = acc & (new_rep < R)
 
             return dict(
                 rep=new_rep,
-                it=jnp.where(acc, 0, st["it"] + 1),
-                phase=jnp.where(
-                    acc, jnp.where(start, PH_INIT_R, PH_DONE), phase
-                ).astype(jnp.int32),
-                tL=jnp.where(acc, -u0_n * w_n, tL),
-                tR=jnp.where(acc, (1.0 - u0_n) * w_n, tR),
+                it=jnp.where(acc, 0, jnp.where(engaged, st["it"] + 1, st["it"])),
+                phase=phase,
+                tL=jnp.where(acc, 0.0, tL),
+                tR=jnp.where(acc, 0.0, tR),
                 rstep=jnp.where(acc, 1, rstep),
                 lstep=jnp.where(acc, 1, lstep),
                 nshrink=jnp.where(acc, 0, nshrink),
@@ -490,15 +516,54 @@ def build_epoch_fn_fused(
                 nhat=jnp.where(acc[:, None], nhat_n, st["nhat"]),
                 w=jnp.where(acc, w_n, st["w"]),
                 grade=jnp.where(acc, grade_n, st["grade"]),
-                out=out,
+                ring=ring,
+                ring_rep=ring_rep,
                 nlike_g=nlike_g,
-                total_iters=st["total_iters"] + 1,
+                iters=st["iters"] + 1,
             )
 
         st = jax.lax.while_loop(cond, body, state)
-        babies = st["out"].reshape(B, R * stride)
+
+        overflow = jnp.any(st["phase"] != PH_DONE)  # exited on the iters cap
+
+        # reorder the ring into repeat order: sort (rep, slot) int pairs per
+        # lane — cheap one-time pass — then ONE batched row gather.  Each
+        # repeat of a live lane is accepted exactly once, so after sorting by
+        # rep the first R positions are repeats 0..R-1 in order; sentinel
+        # (never-accepted) entries carry slot 0 = the default entry.
+        slot_ids = jnp.where(
+            st["ring_rep"] < T_ring,
+            jnp.broadcast_to(jnp.arange(T_ring), (B, T_ring)),
+            0,
+        )
+        _, slots_sorted = jax.lax.sort_key_val(
+            st["ring_rep"], slot_ids, dimension=1
+        )
+        slots = slots_sorted[:, :R]
+        entries = jnp.take_along_axis(st["ring"], slots[:, :, None], axis=1)
+        cube = entries[:, :, :D]  # (B, R, D)
+        logL_store = entries[:, :, D]
+
+        # re-derive theta/phi from the accepted cubes in one batched pass
+        # (bookkeeping, not counted in nlike; rows never accepted keep the
+        # scan engine's zero theta/phi defaults)
+        theta, phi, _ = calc_point_batch(cube.reshape(B * R, D))
+        accepted = (slots > 0)[:, :, None]
+        theta = jnp.where(accepted, theta.reshape(B, R, D), 0.0)
+        phi = jnp.where(accepted, phi.reshape(B, R, cfg.n_phi), 0.0)
+
+        babies = jnp.concatenate(
+            [cube, theta, phi, logL_store[:, :, None]], axis=2
+        ).reshape(B, R * stride)
         packed = jnp.concatenate(
-            [babies, st["nlike_g"].astype(jnp.float32)], axis=1
+            [
+                babies,
+                st["nlike_g"].astype(jnp.float32),
+                jnp.broadcast_to(
+                    overflow.astype(jnp.float32), (B,)
+                )[:, None],
+            ],
+            axis=1,
         )
         return packed
 
@@ -515,6 +580,7 @@ def unpack_epoch(packed, cfg: EpochConfig):
     packed = np.asarray(packed, dtype=np.float64)
     D = cfg.n_dims
     R = cfg.total_repeats
+    n_grades = len(cfg.grade_dims)
     stride = 2 * D + cfg.n_phi + 1
     B = packed.shape[0]
     per_baby = packed[:, : R * stride].reshape(B, R, stride)
@@ -522,8 +588,15 @@ def unpack_epoch(packed, cfg: EpochConfig):
     theta = per_baby[:, :, D : 2 * D]
     phi = per_baby[:, :, 2 * D : 2 * D + cfg.n_phi]
     logL = per_baby[:, :, -1]
-    nlike = packed[:, R * stride :].astype(np.int64)
+    nlike = packed[:, R * stride : R * stride + n_grades].astype(np.int64)
     return cube, theta, phi, logL, nlike
+
+
+def epoch_overflowed(packed) -> bool:
+    """True if a ring-engine epoch exhausted its ring (re-run with scan)."""
+    import numpy as np
+
+    return bool(np.asarray(packed[:, -1]).any())
 
 
 def pack_epoch_inputs(seed_cube, bound, cholesky):

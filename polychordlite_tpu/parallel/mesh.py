@@ -25,6 +25,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.slice_kernel import (
     EpochConfig,
     build_epoch_fn,
+    build_epoch_fn_scan,
+    epoch_overflowed,
     pack_epoch_inputs,
     unpack_epoch,
     unpack_epoch_inputs,
@@ -46,18 +48,16 @@ def make_epoch_runner(
     axis = None if n_dev == 1 else "chains"
     B = -(-batch_size // (8 * n_dev)) * (8 * n_dev)
 
-    epoch = build_epoch_fn(calc, cfg, axis_name=axis)
+    def compile_engine(epoch_fn):
+        def wrapped(key, packed_in):
+            seed_cube, bound, chol = unpack_epoch_inputs(packed_in, cfg.n_dims)
+            valid = jnp.ones((seed_cube.shape[0],), bool)
+            return epoch_fn(key, seed_cube, bound, chol, valid)
 
-    def wrapped(key, packed_in):
-        seed_cube, bound, chol = unpack_epoch_inputs(packed_in, cfg.n_dims)
-        valid = jnp.ones((seed_cube.shape[0],), bool)
-        return epoch(key, seed_cube, bound, chol, valid)
-
-    if n_dev == 1:
-        jitted = jax.jit(wrapped)
-    else:
+        if n_dev == 1:
+            return jax.jit(wrapped)
         mesh = Mesh(np.array(devices), ("chains",))
-        jitted = jax.jit(
+        return jax.jit(
             jax.shard_map(
                 wrapped,
                 mesh=mesh,
@@ -66,13 +66,24 @@ def make_epoch_runner(
             )
         )
 
+    jitted = compile_engine(build_epoch_fn(calc, cfg, axis_name=axis))
+    fallback = []  # lazily compiled scan engine for ring-overflow epochs
+
     def run(key, seed_cube, bound, chol):
         packed_in = pack_epoch_inputs(
             np.asarray(seed_cube, dtype=np.float32),
             np.asarray(bound, dtype=np.float32),
             np.asarray(chol, dtype=np.float32),
         )
-        packed_out = jitted(key, jnp.asarray(packed_in))
+        packed_out = np.asarray(jitted(key, jnp.asarray(packed_in)))
+        if cfg.engine == "ring" and epoch_overflowed(packed_out):
+            # a pathological epoch exhausted the ring: re-run it with the
+            # scan engine (bitwise-identical results, no slot budget)
+            if not fallback:
+                fallback.append(
+                    compile_engine(build_epoch_fn_scan(calc, cfg, axis_name=axis))
+                )
+            packed_out = np.asarray(fallback[0](key, jnp.asarray(packed_in)))
         return unpack_epoch(packed_out, cfg)
 
     return run, B

@@ -125,13 +125,17 @@ class TestSliceEngine:
         assert np.all(d > 0)
 
 
-class TestFusedMatchesScan:
-    def test_bitwise_identical_to_scan_engine(self):
-        """The experimental fused persistent-lane engine must produce
-        bit-identical output to the default scan-over-repeats engine
-        (counter-based RNG guarantees the per-(lane, repeat, iteration)
-        streams coincide)."""
-        from polychordlite_tpu.ops.slice_kernel import build_epoch_fn_fused
+class TestRingMatchesScan:
+    """The ring engine (fused per-lane progress, window/ring memory layout)
+    must produce bit-identical output to the scan-over-repeats oracle
+    (counter-based RNG guarantees the per-(lane, repeat, iteration) streams
+    coincide)."""
+
+    def _compare(self, cfg_kwargs, key_seed=11):
+        from polychordlite_tpu.ops.slice_kernel import (
+            build_epoch_fn_ring,
+            build_epoch_fn_scan,
+        )
 
         D, B = 3, 32
 
@@ -141,21 +145,60 @@ class TestFusedMatchesScan:
         calc = make_batched_calculator(
             prior_fn=lambda c: c, loglike_fn=loglike, n_dims=D, n_derived=1
         )
-        cfg = EpochConfig(
-            n_dims=D, n_phi=calc.n_phi, grade_dims=(2, 1), num_repeats=(6, 3)
-        )
-        fused = jax.jit(build_epoch_fn_fused(calc, cfg))
-        scan = jax.jit(build_epoch_fn(calc, cfg))
+        cfg = EpochConfig(n_dims=D, n_phi=calc.n_phi, **cfg_kwargs)
+        ring = jax.jit(build_epoch_fn_ring(calc, cfg))
+        scan = jax.jit(build_epoch_fn_scan(calc, cfg))
 
-        key = jax.random.PRNGKey(11)
+        key = jax.random.PRNGKey(key_seed)
         seeds = jnp.full((B, D), 0.5).at[3].set(0.42)
         bounds = jnp.full((B,), -0.09)
         chol = jnp.broadcast_to(0.7 * jnp.eye(D), (B, D, D))
         valid = jnp.ones((B,), bool).at[5].set(False)
 
-        a = np.asarray(fused(key, seeds, bounds, chol, valid))
+        a = np.asarray(ring(key, seeds, bounds, chol, valid))
         b = np.asarray(scan(key, seeds, bounds, chol, valid))
+        assert not a[:, -1].any(), "ring must not overflow here"
         assert np.array_equal(a, b)
+
+    def test_multigrade(self):
+        self._compare(dict(grade_dims=(2, 1), num_repeats=(6, 3)))
+
+    def test_single_grade_odd_repeats(self):
+        self._compare(dict(grade_dims=(3,), num_repeats=(11,)))
+
+    def test_overflow_flag(self):
+        """With a starved ring the engine must flag overflow, and the mesh
+        runner must transparently fall back to the scan engine."""
+        from polychordlite_tpu.ops.slice_kernel import build_epoch_fn_ring
+        from polychordlite_tpu.parallel.mesh import make_epoch_runner
+
+        D, B = 2, 16
+
+        def loglike(theta):
+            return -jnp.sum((theta - 0.5) ** 2)
+
+        calc = make_batched_calculator(
+            prior_fn=lambda c: c, loglike_fn=loglike, n_dims=D, n_derived=1
+        )
+        cfg = EpochConfig(
+            n_dims=D,
+            n_phi=calc.n_phi,
+            grade_dims=(D,),
+            num_repeats=(8,),
+            ring_factor=1,  # ~8 slots for ~40+ iterations -> guaranteed overflow
+        )
+        ring = jax.jit(build_epoch_fn_ring(calc, cfg))
+        key = jax.random.PRNGKey(3)
+        seeds = jnp.full((B, D), 0.5)
+        bounds = jnp.full((B,), -0.04)
+        chol = jnp.broadcast_to(jnp.eye(D), (B, D, D))
+        packed = np.asarray(ring(key, seeds, bounds, chol, jnp.ones((B,), bool)))
+        assert packed[:, -1].all()
+
+        # the runner falls back to scan and returns valid babies
+        run, Bp = make_epoch_runner(calc, cfg, B, single_device=True)
+        cube, theta, phi, logL, nlike = run(key, seeds, bounds, chol)
+        assert np.all(logL >= -0.04 - 1e-5)
 
 
 class TestHardWall:
