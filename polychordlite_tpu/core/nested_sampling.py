@@ -32,6 +32,7 @@ from ..ops.slice_kernel import EpochConfig, build_epoch_fn
 from ..settings import PolyChordSettings
 from ..utils import io as io_mod
 from ..utils import resume as resume_mod
+from ..utils.metrics import RunMetrics
 from . import rti as rti_mod
 from .clustering import do_clustering
 from .generate import (
@@ -210,6 +211,10 @@ def nested_sampling(
         )
         _feedback(s, 1, f"chain batch {B} over {len(jax.devices())} device(s)")
 
+        metrics = RunMetrics(
+            io_mod.root_path(s) + ".metrics.jsonl" if s.write_stats else None,
+            resume=resumed,
+        )
         nlikesum = np.zeros(n_grades, dtype=np.int64)
         failures = 0
         nfail = s.resolved_nfail()
@@ -226,9 +231,10 @@ def nested_sampling(
             epoch_key = jax.random.fold_in(key, 100_000 + epoch_idx)
             epoch_idx += 1
 
-            b_cube, b_theta, b_phi, b_logL, nlike = run_epoch(
-                epoch_key, seeds[:, s.h], bound, chol
-            )
+            with metrics.device_epoch():
+                b_cube, b_theta, b_phi, b_logL, nlike = run_epoch(
+                    epoch_key, seeds[:, s.h], bound, chol
+                )
             nlike = nlike.sum(axis=0)
             rti.nlike += nlike
             nlikesum += nlike
@@ -270,6 +276,14 @@ def nested_sampling(
 
                 if update:
                     logZ, varlogZ, *_ = calculate_logZ_estimate(rti)
+                    metrics.record(
+                        ndead=rti.ndead,
+                        nlive=rti.total_nlive(),
+                        ncluster=rti.ncluster,
+                        logZ=logZ,
+                        varlogZ=varlogZ,
+                        nlike=int(rti.nlike.sum()),
+                    )
                     frac = math.exp(
                         min(live_logZ(rti) - rti.logZ, 700.0)
                     ) if rti.logZ > s.logzero else float("inf")
@@ -322,12 +336,21 @@ def nested_sampling(
                 time.time() - t_start, s.feedback,
             )
 
+        metrics.record(
+            ndead=rti.ndead,
+            nlive=0,
+            ncluster=rti.ncluster,
+            logZ=logZ,
+            varlogZ=varlogZ,
+            nlike=int(rti.nlike.sum()),
+        )
         return {
             "logZ": float(logZ),
             "logZerr": float(math.sqrt(abs(varlogZ))),
             "ndead": int(rti.ndead),
             "nlike": int(rti.nlike[0]),
             "nlike_per_grade": rti.nlike.copy(),
+            "metrics": metrics.summary(ndead=rti.ndead, nlike=int(rti.nlike.sum())),
             "rti": rti,
         }
     finally:

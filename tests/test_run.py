@@ -64,6 +64,28 @@ class TestEndToEnd:
         ):
             assert os.path.exists(root + suffix), suffix
 
+    def test_metrics_jsonl_stream(self, tmp_path):
+        """SURVEY §5.1/§5.5: structured metrics with the reference's cost
+        accounting (evals/s, device-time fraction) per compression e-fold."""
+        import json
+
+        run_small(tmp_path, file_root="met")
+        path = os.path.join(str(tmp_path), "met.metrics.jsonl")
+        assert os.path.exists(path)
+        recs = [json.loads(line) for line in open(path)]
+        assert len(recs) >= 2
+        for k in (
+            "t", "ndead", "nlive", "ncluster", "logZ", "logZerr",
+            "nlike", "evals_per_s", "dead_per_s", "device_frac", "epochs",
+        ):
+            assert k in recs[0], k
+        ndead = [r["ndead"] for r in recs]
+        assert ndead == sorted(ndead) and ndead[-1] > 100
+        nlike = [r["nlike"] for r in recs]
+        assert nlike == sorted(nlike)  # cumulative
+        assert all(0.0 <= r["device_frac"] <= 1.0 for r in recs)
+        assert recs[-1]["nlive"] == 0  # final record after the live-point drain
+
     def test_equal_weights_file_parses(self, tmp_path):
         out = run_small(tmp_path, file_root="eq")
         data = np.loadtxt(os.path.join(str(tmp_path), "eq_equal_weights.txt"))
