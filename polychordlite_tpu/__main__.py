@@ -12,11 +12,8 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .core.nested_sampling import default_dumper, nested_sampling
-from .models import LIKELIHOODS, get_likelihood
-from .priors import hypercube_to_physical
-from .utils import io as io_mod
-from .utils.inifile import read_ini
+from .inidriver import run_ini
+from .models import LIKELIHOODS
 
 
 def main(argv=None) -> int:
@@ -33,27 +30,10 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
-    settings, blocks, paramnames, derived, kv = read_ini(args.inifile)
-
-    name = args.likelihood or kv.get("likelihood") or settings.file_root
-    if name not in LIKELIHOODS:
-        ap.error(
-            f"no example likelihood named {name!r}; pass --likelihood "
-            f"(available: {', '.join(sorted(LIKELIHOODS))})"
-        )
-    loglikelihood = get_likelihood(name, settings.nDims)
-
-    if blocks:
-        def prior(cube):
-            return hypercube_to_physical(cube, blocks)
-    else:
-        def prior(cube):
-            return cube
-
-    if settings.write_paramnames and paramnames:
-        io_mod.write_paramnames_file(settings, list(paramnames) + list(derived))
-
-    out = nested_sampling(loglikelihood, prior, default_dumper, settings)
+    try:
+        out = run_ini(args.inifile, likelihood_name=args.likelihood)
+    except ValueError as e:
+        ap.error(str(e))
     print(
         "logZ = %.6f +/- %.6f | ndead = %d | nlike = %d"
         % (out["logZ"], out["logZerr"], out["ndead"], out["nlike"])

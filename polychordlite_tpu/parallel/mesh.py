@@ -69,13 +69,37 @@ def make_epoch_runner(
     jitted = compile_engine(build_epoch_fn(calc, cfg, axis_name=axis))
     fallback = []  # lazily compiled scan engine for ring-overflow epochs
 
+    # multi-host (jax.distributed): every process holds the identical full
+    # host state (redundant-deterministic administration, SURVEY §5.8); the
+    # batch is sharded over the global mesh and results allgathered back.
+    n_proc = jax.process_count()
+    multihost = n_proc > 1 and not single_device
+
+    def to_device(packed_in):
+        if not multihost:
+            return jnp.asarray(packed_in)
+        from jax.experimental import multihost_utils as mhu
+
+        mesh = Mesh(np.array(devices), ("chains",))
+        p = jax.process_index()
+        rows = packed_in.shape[0] // n_proc
+        local = packed_in[p * rows : (p + 1) * rows]
+        return mhu.host_local_array_to_global_array(local, mesh, P("chains"))
+
+    def fetch(packed_out):
+        if not multihost:
+            return np.asarray(packed_out)
+        from jax.experimental import multihost_utils as mhu
+
+        return np.asarray(mhu.process_allgather(packed_out, tiled=True))
+
     def run(key, seed_cube, bound, chol):
         packed_in = pack_epoch_inputs(
             np.asarray(seed_cube, dtype=np.float32),
             np.asarray(bound, dtype=np.float32),
             np.asarray(chol, dtype=np.float32),
         )
-        packed_out = np.asarray(jitted(key, jnp.asarray(packed_in)))
+        packed_out = fetch(jitted(key, to_device(packed_in)))
         if cfg.engine == "ring" and epoch_overflowed(packed_out):
             # a pathological epoch exhausted the ring: re-run it with the
             # scan engine (bitwise-identical results, no slot budget)
@@ -83,7 +107,7 @@ def make_epoch_runner(
                 fallback.append(
                     compile_engine(build_epoch_fn_scan(calc, cfg, axis_name=axis))
                 )
-            packed_out = np.asarray(fallback[0](key, jnp.asarray(packed_in)))
+            packed_out = fetch(fallback[0](key, to_device(packed_in)))
         return unpack_epoch(packed_out, cfg)
 
     return run, B
