@@ -114,6 +114,31 @@ class TestEndToEnd:
         assert np.isfinite(logZ)
 
 
+class TestMaximiser:
+    def test_maximise_writes_maximum_file(self, tmp_path):
+        """settings%maximise: post-run Nelder-Mead finds the gaussian peak
+        and writes <root>.maximum (maximiser.F90:33-87)."""
+        run_small(tmp_path, file_root="mx", maximise=True)
+        path = os.path.join(str(tmp_path), "mx.maximum")
+        assert os.path.exists(path)
+        text = open(path).read()
+        assert "log-likelihood" in text.lower() or "loglike" in text.lower()
+        # the max-likelihood physical point should be near the peak at 0
+        nums = []
+        for line in text.splitlines():
+            try:
+                nums.append([float(x) for x in line.split()])
+            except ValueError:
+                continue
+        nums = [r for r in nums if r]
+        assert nums, text
+        # some numeric row holds the physical coordinates near the origin
+        near0 = any(
+            len(r) >= NDIMS and all(abs(v) < 0.05 for v in r[:NDIMS]) for r in nums
+        )
+        assert near0, nums
+
+
 class TestSeedDeterminism:
     @pytest.mark.parametrize("seed", [1, 2])
     def test_same_seed_identical(self, tmp_path, seed):
