@@ -114,6 +114,31 @@ class TestEndToEnd:
         assert np.isfinite(logZ)
 
 
+class TestRunOptions:
+    def test_nlives_schedule(self, tmp_path):
+        """Variable-nlive schedule (run_time_info.f90:716-787 nlives/loglikes):
+        the live population must track the schedule as the contour rises."""
+        import json
+
+        run_small(tmp_path, file_root="sched", nlive=60, nlives={-20.0: 25})
+        recs = [
+            json.loads(l)
+            for l in open(os.path.join(str(tmp_path), "sched.metrics.jsonl"))
+        ]
+        lives = [r["nlive"] for r in recs[:-1]]
+        assert max(lives) > 25  # starts at ~60
+        assert min(lives) <= 30  # shrinks toward the scheduled 25
+
+    def test_boost_posterior_enriches_samples(self, tmp_path):
+        """boost_posterior keeps phantom points as posterior samples
+        (clean_phantoms / thin_posterior, run_time_info.f90:820-877)."""
+        run_small(tmp_path, file_root="b0", boost_posterior=0.0)
+        run_small(tmp_path, file_root="b5", boost_posterior=5.0)
+        n0 = len(np.loadtxt(os.path.join(str(tmp_path), "b0.txt")))
+        n5 = len(np.loadtxt(os.path.join(str(tmp_path), "b5.txt")))
+        assert n5 > 1.5 * n0
+
+
 class TestMaximiser:
     def test_maximise_writes_maximum_file(self, tmp_path):
         """settings%maximise: post-run Nelder-Mead finds the gaussian peak
