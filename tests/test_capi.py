@@ -127,3 +127,84 @@ def test_c_interface_end_to_end(tmp_path):
     po = PolyChordOutput(str(chains), "capi")
     assert abs(po.logZ) < 3 * po.logZerr + 0.2
     assert abs(logZ - po.logZ) < 0.5  # dumper saw the same evidence
+
+
+DRIVER_INI = r"""
+#include <math.h>
+#include <stdio.h>
+#include "capi.h"
+
+static double loglike(double *theta, int nDims, double *phi, int nDerived) {
+    (void)phi; (void)nDerived;
+    double r2 = 0.0;
+    for (int i = 0; i < nDims; i++) {
+        double d = theta[i] - 0.5;
+        r2 += d * d;
+    }
+    return -r2 / (2 * 0.01) - nDims * log(0.1 * sqrt(2 * M_PI));
+}
+
+static int setup_called = 0;
+static void setup(void) { setup_called = 1; }
+
+int main(int argc, char **argv) {
+    int comm = 0;
+    polychord_c_interface_ini(loglike, setup, argv[1], &comm);
+    printf("SETUP %d\n", setup_called);
+    return 0;
+}
+"""
+
+INI = """
+[ algorithm settings ]
+nlive = 50
+num_repeats = 4
+do_clustering = F
+precision_criterion = 0.01
+[ output settings ]
+base_dir = %(base)s
+file_root = capini
+write_resume = F
+read_resume = F
+feedback = 0
+seed = 4
+max_ndead = 400
+[ prior settings ]
+P : p1 | \\theta_{1} | 1 | uniform | 1 | 0.0 1.0
+P : p2 | \\theta_{2} | 1 | uniform | 1 | 0.0 1.0
+"""
+
+
+def test_c_interface_ini(tmp_path):
+    build = tmp_path / "build"
+    build.mkdir()
+    (build / "driver.c").write_text(DRIVER_INI)
+    chains = tmp_path / "chains"
+    (chains / "clusters").mkdir(parents=True)
+    ini = tmp_path / "run.ini"
+    ini.write_text(INI % {"base": chains})
+
+    inc = sysconfig.get_paths()["include"]
+    libdir = sysconfig.get_config_var("LIBDIR")
+    pyver = f"python{sys.version_info.major}.{sys.version_info.minor}"
+    exe = str(build / "driver")
+    subprocess.run(
+        [
+            "gcc", "-O1", "-o", exe,
+            str(build / "driver.c"), os.path.join(REPO, "csrc", "capi.c"),
+            f"-I{inc}", f"-I{os.path.join(REPO, 'csrc')}",
+            f"-L{libdir}", f"-Wl,-rpath,{libdir}", f"-l{pyver}", "-lm", "-ldl",
+        ],
+        check=True, capture_output=True, timeout=120,
+    )
+    env = dict(os.environ)
+    site = sysconfig.get_paths()["purelib"]
+    venv_site = [p for p in sys.path if p.endswith("site-packages")]
+    env["PYTHONPATH"] = ":".join([REPO] + venv_site + [site])
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [exe, str(ini)], capture_output=True, text=True, timeout=600, env=env
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SETUP 1" in out.stdout
+    assert (chains / "capini.stats").exists()
