@@ -5,6 +5,11 @@ engine vmaps it over the chain batch, so expressions here execute as fused
 (B, D) vector ops on the TPU.  Math and constants follow the cited reference
 files exactly (they are the correctness oracles — e.g. the normalised Gaussian
 integrates to Z = 1 over an infinite prior).
+
+Tile convention: every closure reduces over ``axis=0`` and broadcasts per-dim
+constants with :func:`_bc`, so the SAME function evaluates a single point
+``theta (D,)`` or a whole Pallas tile ``theta (D, S, L)`` — the requirement
+for the fused TPU kernel fast path (ops/pallas_engine.py).
 """
 
 from __future__ import annotations
@@ -16,6 +21,14 @@ import numpy as np
 
 LOG_TWO_PI = math.log(2.0 * math.pi)
 LOG_SQRT_TWO_PI = 0.5 * LOG_TWO_PI
+
+
+def _bc(v, theta):
+    """Broadcast a per-dimension (D,) constant against (D, ...) tile input."""
+    v = jnp.asarray(v)
+    if v.ndim == 0:
+        return v
+    return v.reshape(v.shape + (1,) * (theta.ndim - 1))
 
 
 def _log_vn(n: int) -> float:
@@ -32,8 +45,8 @@ def gaussian(n_dims: int, mu: float = 0.5, sigma: float = 0.1):
 
     def loglikelihood(theta):
         d = (theta - mu) / sigma
-        logL = norm - 0.5 * jnp.sum(d * d)
-        r = jnp.sqrt(jnp.sum((theta - mu) ** 2))
+        logL = norm - 0.5 * jnp.sum(d * d, axis=0)
+        r = jnp.sqrt(jnp.sum((theta - mu) ** 2, axis=0))
         return logL, jnp.stack([r, n_dims * jnp.log(r) + log_vn])
 
     return loglikelihood
@@ -49,9 +62,9 @@ def half_gaussian(n_dims: int, sigma: float = 0.1):
     log_vn = _log_vn(n_dims)
 
     def loglikelihood(theta):
-        d = (theta - mu_j) / sigma
-        logL = norm - 0.5 * jnp.sum(d * d)
-        r = jnp.sqrt(jnp.sum((theta - mu_j) ** 2))
+        d = (theta - _bc(mu_j, theta)) / sigma
+        logL = norm - 0.5 * jnp.sum(d * d, axis=0)
+        r = jnp.sqrt(jnp.sum(d * d, axis=0)) * sigma
         return logL, jnp.stack([r, n_dims * jnp.log(r) + log_vn - math.log(2.0)])
 
     return loglikelihood
@@ -65,7 +78,7 @@ def pyramidal(n_dims: int, mu: float = 0.5, sigma: float = 0.1):
     norm = -n_dims * (LOG_SQRT_TWO_PI + math.log(sigma))
 
     def loglikelihood(theta):
-        return norm - jnp.max(jnp.abs(theta - mu) / sigma) ** 2 / factor
+        return norm - jnp.max(jnp.abs(theta - mu) / sigma, axis=0) ** 2 / factor
 
     return loglikelihood
 
@@ -76,7 +89,7 @@ def rastrigin(n_dims: int, A: float = 10.0):
 
     def loglikelihood(theta):
         return -jnp.sum(
-            log_norm + theta**2 - A * jnp.cos(2.0 * math.pi * theta)
+            log_norm + theta**2 - A * jnp.cos(2.0 * math.pi * theta), axis=0
         )
 
     return loglikelihood
@@ -92,8 +105,8 @@ def twin_gaussian(n_dims: int, sigma: float = 0.1):
     norm = -n_dims * (math.log(sigma) + LOG_SQRT_TWO_PI)
 
     def loglikelihood(theta):
-        l1 = norm - 0.5 * jnp.sum(((theta - mu1_j) / sigma) ** 2)
-        l2 = norm - 0.5 * jnp.sum(((theta - mu2_j) / sigma) ** 2)
+        l1 = norm - 0.5 * jnp.sum(((theta - _bc(mu1_j, theta)) / sigma) ** 2, axis=0)
+        l2 = norm - 0.5 * jnp.sum(((theta - _bc(mu2_j, theta)) / sigma) ** 2, axis=0)
         logL = jnp.logaddexp(l1, l2) - math.log(2.0)
         phi = jnp.where(theta[0] > 0.5, 1.0, -1.0)[None]
         return logL, phi
@@ -134,7 +147,7 @@ def rosenbrock(n_dims: int, a: float = 1.0, b: float = 100.0):
 
     def loglikelihood(theta):
         return norm - jnp.sum(
-            (a - theta[:-1]) ** 2 + b * (theta[1:] - theta[:-1] ** 2) ** 2
+            (a - theta[:-1]) ** 2 + b * (theta[1:] - theta[:-1] ** 2) ** 2, axis=0
         )
 
     return loglikelihood
@@ -144,7 +157,7 @@ def eggbox(n_dims: int):
     """eggbox.f90: -(2 + prod cos(theta_i/2))^5."""
 
     def loglikelihood(theta):
-        return -((2.0 + jnp.prod(jnp.cos(theta / 2.0))) ** 5)
+        return -((2.0 + jnp.prod(jnp.cos(theta / 2.0), axis=0)) ** 5)
 
     return loglikelihood
 
@@ -170,7 +183,7 @@ def gaussian_shell(n_dims: int, radius: float = 2.0, sigma: float = 0.1):
     A = _shell_norm(n_dims, radius, sigma)
 
     def loglikelihood(theta):
-        r = jnp.sqrt(jnp.sum(theta**2))
+        r = jnp.sqrt(jnp.sum(theta**2, axis=0))
         logL = -A - (r - radius) ** 2 / (2.0 * sigma * sigma)
         return logL, r[None]
 
@@ -188,8 +201,8 @@ def gaussian_shells(n_dims: int, radius: float = 2.0, sigma: float = 0.1):
     mu1_j, mu2_j = jnp.asarray(mu1), jnp.asarray(mu2)
 
     def loglikelihood(theta):
-        r1 = jnp.sqrt(jnp.sum((theta - mu1_j) ** 2))
-        r2 = jnp.sqrt(jnp.sum((theta - mu2_j) ** 2))
+        r1 = jnp.sqrt(jnp.sum((theta - _bc(mu1_j, theta)) ** 2, axis=0))
+        r2 = jnp.sqrt(jnp.sum((theta - _bc(mu2_j, theta)) ** 2, axis=0))
         l1 = -A - (r1 - radius) ** 2 / (2.0 * sigma * sigma)
         l2 = -A - (r2 - radius) ** 2 / (2.0 * sigma * sigma)
         return jnp.logaddexp(l1, l2) - math.log(2.0)
@@ -213,7 +226,7 @@ def random_gaussian(n_dims: int, sigma: float = 0.1, seed: int = 0):
 
     def loglikelihood(theta):
         d = theta - mu
-        return norm - 0.5 * d @ invcov_j @ d
+        return norm - 0.5 * jnp.einsum("i...,ij,j...->...", d, invcov_j, d)
 
     return loglikelihood
 
