@@ -46,8 +46,14 @@ def c_baseline_rate(seconds: float = 2.0) -> float:
         return 6.1e6  # measured on this image 2026-08 (gcc -O3, 20-D gaussian)
 
 
-def kernel_evals_per_s(B: int = 8192, n_dims: int = 20, num_repeats: int = 100):
-    """Measured likelihood evals/s of the batched slice engine on one chip."""
+def kernel_evals_per_s(
+    B: int = 8192, n_dims: int = 20, num_repeats: int = 100, engine: str = "pallas"
+):
+    """Measured likelihood evals/s of the batched slice engine on one chip.
+
+    Defaults to the fused Pallas engine (ops/pallas_slice.py — ~2x the XLA
+    scan engine on this chip); the caller falls back to ``engine="scan"`` if
+    the Pallas path fails to lower on the current backend."""
     import jax
     import jax.numpy as jnp
 
@@ -66,6 +72,7 @@ def kernel_evals_per_s(B: int = 8192, n_dims: int = 20, num_repeats: int = 100):
         n_phi=calc.n_phi,
         grade_dims=(n_dims,),
         num_repeats=(num_repeats,),
+        engine=engine,
     )
     raw_epoch = build_epoch_fn(calc, cfg)
     n_grades = len(cfg.grade_dims)
@@ -174,7 +181,12 @@ def main():
     base_core = c_baseline_rate()
     baseline_16rank = 16.0 * base_core
 
-    best, median, total, dt = kernel_evals_per_s()
+    engine = "pallas"
+    try:
+        best, median, total, dt = kernel_evals_per_s(engine="pallas")
+    except Exception:
+        engine = "scan"
+        best, median, total, dt = kernel_evals_per_s(engine="scan")
     extras = {}
     try:
         extras = quickstart_accuracy()
@@ -187,6 +199,7 @@ def main():
         "unit": "evals/s",
         "vs_baseline": round(best / baseline_16rank, 4),
         "platform": platform,
+        "engine": engine,
         "median_evals_per_s": round(median, 1),
         "baseline_16rank_evals_per_s": round(baseline_16rank, 1),
         "kernel_evals": total,

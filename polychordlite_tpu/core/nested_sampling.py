@@ -201,6 +201,7 @@ def nested_sampling(
             grade_dims=tuple(s.grade_dims),
             num_repeats=num_repeats,
             logzero=s.logzero,
+            engine=s.engine,
         )
         R = cfg.total_repeats
         from ..parallel.mesh import make_epoch_runner

@@ -72,12 +72,33 @@ def make_batched_calculator(
             is_traceable(prior_fn, (n_dims,)) and is_traceable(_probe, (n_dims,))
         )
 
+    single_logL = None
     if not use_callback:
 
         def _single(cube):
             theta = jnp.asarray(prior_fn(cube), dtype=jnp.float32)
             logL, phi = _normalise_like_output(loglike_fn(theta), n_phi)
             return theta, phi, logL
+
+        def single_logL(cube_tile):
+            """(D, ...) tile -> (...) logL with full calculate_point
+            semantics; runs INSIDE the pallas slice kernel
+            (ops/pallas_slice.py).  Requires the prior/likelihood to follow
+            the tile convention (parameter axis 0, reductions ``axis=0``,
+            everything else elementwise — models/examples.py); the pallas
+            builder numerically validates this against the batched path and
+            falls back to the scan engine on mismatch."""
+            inw = jnp.min(
+                jnp.where((cube_tile >= 0.0) & (cube_tile <= 1.0), 1.0, 0.0),
+                axis=0,
+            )
+            theta = prior_fn(jnp.clip(cube_tile, 0.0, 1.0))
+            out = loglike_fn(theta)
+            logL = jnp.asarray(
+                out[0] if isinstance(out, tuple) else out, jnp.float32
+            )
+            logL = jnp.where(jnp.isnan(logL), logzero, logL)
+            return jnp.where(inw > 0.5, logL, jnp.float32(logzero))
 
         raw_eval = jax.vmap(_single)
     else:
@@ -128,4 +149,5 @@ def make_batched_calculator(
 
     calc_point_batch.uses_callback = use_callback
     calc_point_batch.n_phi = n_phi
+    calc_point_batch.single_logL = single_logL
     return calc_point_batch

@@ -46,7 +46,9 @@ def make_epoch_runner(
         devices = jax.devices()
     n_dev = 1 if single_device else len(devices)
     axis = None if n_dev == 1 else "chains"
-    B = -(-batch_size // (8 * n_dev)) * (8 * n_dev)
+    # pallas engine: whole lanes of (8, 128) f32 tiles per device shard
+    granule = 8 * 128 if cfg.engine == "pallas" else 8
+    B = -(-batch_size // (granule * n_dev)) * (granule * n_dev)
 
     def compile_engine(epoch_fn):
         def wrapped(key, packed_in):
@@ -66,8 +68,17 @@ def make_epoch_runner(
             )
         )
 
-    jitted = compile_engine(build_epoch_fn(calc, cfg, axis_name=axis))
-    fallback = []  # lazily compiled scan engine for ring-overflow epochs
+    engines = {}  # current engine + lazily compiled scan fallback
+
+    try:
+        engines["current"] = compile_engine(build_epoch_fn(calc, cfg, axis_name=axis))
+    except Exception:
+        if cfg.engine == "scan":
+            raise
+        # e.g. pallas engine on a host-callback likelihood: build-time error
+        engines["current"] = compile_engine(
+            build_epoch_fn_scan(calc, cfg, axis_name=axis)
+        )
 
     # multi-host (jax.distributed): every process holds the identical full
     # host state (redundant-deterministic administration, SURVEY §5.8); the
@@ -93,21 +104,32 @@ def make_epoch_runner(
 
         return np.asarray(mhu.process_allgather(packed_out, tiled=True))
 
+    def scan_fallback():
+        if "scan" not in engines:
+            engines["scan"] = compile_engine(
+                build_epoch_fn_scan(calc, cfg, axis_name=axis)
+            )
+        return engines["scan"]
+
     def run(key, seed_cube, bound, chol):
         packed_in = pack_epoch_inputs(
             np.asarray(seed_cube, dtype=np.float32),
             np.asarray(bound, dtype=np.float32),
             np.asarray(chol, dtype=np.float32),
         )
-        packed_out = fetch(jitted(key, to_device(packed_in)))
+        try:
+            packed_out = fetch(engines["current"](key, to_device(packed_in)))
+        except Exception:
+            if cfg.engine == "scan":
+                raise
+            # pallas engine failed to lower/compile for this model on this
+            # backend: permanently fall back to the scan engine
+            engines["current"] = scan_fallback()
+            packed_out = fetch(engines["current"](key, to_device(packed_in)))
         if cfg.engine == "ring" and epoch_overflowed(packed_out):
             # a pathological epoch exhausted the ring: re-run it with the
             # scan engine (bitwise-identical results, no slot budget)
-            if not fallback:
-                fallback.append(
-                    compile_engine(build_epoch_fn_scan(calc, cfg, axis_name=axis))
-                )
-            packed_out = fetch(fallback[0](key, to_device(packed_in)))
+            packed_out = fetch(scan_fallback()(key, to_device(packed_in)))
         return unpack_epoch(packed_out, cfg)
 
     return run, B

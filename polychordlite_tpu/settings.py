@@ -70,6 +70,10 @@ class PolyChordSettings:
     batch_size: int = -1
     #: devices to shard the chain batch over; None -> all local devices.
     mesh_shape: Optional[int] = None
+    #: slice engine: "scan" (default, any likelihood), "ring", or "pallas"
+    #: (fused Mosaic kernel, fastest on TPU; traced likelihoods only —
+    #: falls back to scan automatically if the model cannot lower).
+    engine: str = "scan"
 
     def __init__(self, nDims: int = 1, nDerived: int = 0, **kwargs):
         # dataclass-style init but with the two positional dims first, the

@@ -1,0 +1,178 @@
+"""Pallas slice-engine contract tests (interpret mode on the CPU mesh).
+
+The pallas engine shares ``build_epoch_fn``'s packed contract with the
+scan/ring engines and must produce babies with identical *structure*:
+in-contour logL, identical direction streams, correct nlike accounting,
+invalid-lane masking.  Its inner-loop uniforms are a different (counter-
+based murmur) stream, so outputs are statistically — not bitwise —
+equivalent to the scan engine (see ops/pallas_slice.py docstring); the
+end-to-end oracle run checks the statistics.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from polychordlite_tpu.ops.evaluate import make_batched_calculator
+from polychordlite_tpu.ops.slice_kernel import (
+    EpochConfig,
+    build_epoch_fn,
+    unpack_epoch,
+)
+
+D = 4
+SIGMA = 0.2
+NORM = -D * (math.log(SIGMA) + 0.5 * math.log(2 * math.pi))
+
+
+def gaussian_like(theta):
+    r2 = jnp.sum((theta - 0.5) ** 2)
+    return NORM - 0.5 * r2 / SIGMA**2, [r2]
+
+
+@pytest.fixture(scope="module")
+def calc():
+    return make_batched_calculator(lambda c: c, gaussian_like, D, n_derived=1)
+
+
+def run_epoch(calc, engine, B=1024, R=4, seed=0, n_invalid=0):
+    cfg = EpochConfig(
+        n_dims=D, n_phi=1, grade_dims=(D,), num_repeats=(R,), engine=engine
+    )
+    epoch = build_epoch_fn(calc, cfg)
+    key = jax.random.PRNGKey(seed)
+    seeds = 0.5 + 0.05 * jax.random.normal(key, (B, D))
+    r0 = 1.5 * SIGMA * math.sqrt(D)
+    bound = jnp.full((B,), NORM - 0.5 * (r0 / SIGMA) ** 2, jnp.float32)
+    chol = jnp.broadcast_to(SIGMA * jnp.eye(D, dtype=jnp.float32), (B, D, D))
+    valid = jnp.arange(B) >= n_invalid
+    packed = jax.jit(epoch)(key, seeds, bound, chol, valid)
+    return unpack_epoch(packed, cfg), np.asarray(seeds), float(bound[0]), cfg
+
+
+class TestPallasEpoch:
+    def test_babies_inside_contour(self, calc):
+        (cube, theta, phi, logL, nlike), seeds, bound, cfg = run_epoch(
+            calc, "pallas"
+        )
+        ok = logL > cfg.logzero
+        assert ok.all()  # this contour is easy: no forced logzero accepts
+        assert (logL[ok] >= bound - 1e-4).all()
+        # theta re-derivation matches the prior transform (identity here)
+        np.testing.assert_allclose(theta[ok], cube[ok], rtol=0, atol=1e-6)
+        # derived parameter present
+        r2 = ((theta - 0.5) ** 2).sum(axis=-1)
+        np.testing.assert_allclose(phi[..., 0][ok], r2[ok], rtol=1e-4)
+
+    def test_chains_move_every_repeat(self, calc):
+        (cube, *_), seeds, _, _ = run_epoch(calc, "pallas")
+        assert (np.abs(cube[:, 0] - seeds) > 0).any(axis=-1).all()
+        moved = np.abs(np.diff(cube, axis=1)).sum(axis=-1)
+        assert (moved > 0).all()
+
+    def test_nlike_accounting(self, calc):
+        (_, _, _, logL, nlike), *_ = run_epoch(calc, "pallas")
+        B, R = logL.shape
+        # every accepted baby costs >= 1 eval; INIT_R/INIT_L add more
+        assert (nlike.sum(axis=1) >= 2 * R).all()
+        assert nlike.shape == (B, 1)
+
+    def test_invalid_lanes_masked(self, calc):
+        (cube, theta, phi, logL, nlike), seeds, _, cfg = run_epoch(
+            calc, "pallas", n_invalid=128
+        )
+        assert (logL[:128] == np.float64(np.float32(cfg.logzero))).all()
+        np.testing.assert_allclose(
+            cube[:128],
+            np.broadcast_to(seeds[:128, None, :], cube[:128].shape),
+            atol=1e-6,
+        )
+        assert (theta[:128] == 0).all() and (phi[:128] == 0).all()
+        assert (nlike[:128] == 0).all()
+        assert (logL[128:] > cfg.logzero).all()
+
+    def test_same_direction_stream_as_scan(self, calc):
+        """Engines share the direction/width streams: babies differ (inner
+        uniforms differ) but both stay on chords through the same seeds."""
+        (cube_p, *_), seeds, _, _ = run_epoch(calc, "pallas", R=1)
+        (cube_s, *_), _, _, _ = run_epoch(calc, "scan", R=1)
+        # first-repeat babies lie on the same line through the seed
+        dp = cube_p[:, 0] - seeds
+        ds = cube_s[:, 0] - seeds
+        cross = np.linalg.norm(
+            dp - (dp * ds).sum(-1, keepdims=True)
+            / np.maximum((ds * ds).sum(-1, keepdims=True), 1e-30) * ds,
+            axis=-1,
+        )
+        assert (cross < 1e-4).all()
+
+    def test_statistics_match_scan(self, calc):
+        """Mean/cov of accepted babies agree between engines (same chords,
+        different uniforms -> same distribution)."""
+        (cube_p, *_), *_ = run_epoch(calc, "pallas", B=2048, R=8)
+        (cube_s, *_), *_ = run_epoch(calc, "scan", B=2048, R=8)
+        last_p, last_s = cube_p[:, -1], cube_s[:, -1]
+        np.testing.assert_allclose(
+            last_p.mean(axis=0), last_s.mean(axis=0), atol=0.01
+        )
+        np.testing.assert_allclose(
+            last_p.std(axis=0), last_s.std(axis=0), rtol=0.1
+        )
+
+
+class TestPallasEndToEnd:
+    def test_run_logZ_oracle(self, tmp_path):
+        """2-D normalised Gaussian on U[0,1]^2 prior: logZ = 0 analytically
+        (the quickstart oracle, BASELINE.md)."""
+        import polychordlite_tpu
+
+        sigma = 0.1
+        norm = -2 * (math.log(sigma) + 0.5 * math.log(2 * math.pi))
+
+        def like(theta):
+            return norm - 0.5 * jnp.sum((theta - 0.5) ** 2) / sigma**2
+
+        out = polychordlite_tpu.run(
+            like,
+            2,
+            prior=lambda c: c,
+            nlive=100,
+            num_repeats=6,
+            engine="pallas",
+            read_resume=False,
+            write_resume=False,
+            do_clustering=False,
+            base_dir=str(tmp_path),
+            feedback=0,
+            seed=3,
+        )
+        assert abs(out.logZ) < 4 * max(out.logZerr, 0.05)
+
+    def test_callback_model_falls_back_to_scan(self, tmp_path):
+        """Non-traceable (host numpy) likelihood: engine='pallas' must
+        degrade to the scan engine, not crash (parallel/mesh.py)."""
+        import polychordlite_tpu
+
+        def np_like(theta):
+            t = np.asarray(theta)  # forces host evaluation
+            return float(-0.5 * (t**2).sum() / 0.01), []
+
+        out = polychordlite_tpu.run(
+            np_like,
+            2,
+            prior=lambda c: 2 * c - 1,
+            nlive=40,
+            num_repeats=4,
+            engine="pallas",
+            max_ndead=150,
+            read_resume=False,
+            write_resume=False,
+            do_clustering=False,
+            base_dir=str(tmp_path),
+            feedback=0,
+            seed=5,
+        )
+        assert np.isfinite(out.logZ)
