@@ -73,12 +73,30 @@ def make_batched_calculator(
         )
 
     single_logL = None
+    point_logL = None
     if not use_callback:
 
         def _single(cube):
             theta = jnp.asarray(prior_fn(cube), dtype=jnp.float32)
             logL, phi = _normalise_like_output(loglike_fn(theta), n_phi)
             return theta, phi, logL
+
+        def point_logL(cube):
+            """(D,) cube -> scalar logL with calculate_point semantics
+            (cube-wall logzero, NaN guard); the per-point path the pallas
+            engine vmaps INSIDE the kernel for likelihoods that do not
+            follow the tile convention — the unconstrained callable
+            contract of the reference (interfaces.F90:438-457)."""
+            inside = jnp.all((cube >= 0.0) & (cube <= 1.0))
+            theta = jnp.asarray(
+                prior_fn(jnp.clip(cube, 0.0, 1.0)), dtype=jnp.float32
+            )
+            out = loglike_fn(theta)
+            logL = jnp.asarray(
+                out[0] if isinstance(out, tuple) else out, jnp.float32
+            )
+            logL = jnp.where(jnp.isnan(logL), logzero, logL)
+            return jnp.where(inside, logL, jnp.float32(logzero))
 
         def single_logL(cube_tile):
             """(D, ...) tile -> (...) logL with full calculate_point
@@ -150,4 +168,5 @@ def make_batched_calculator(
     calc_point_batch.uses_callback = use_callback
     calc_point_batch.n_phi = n_phi
     calc_point_batch.single_logL = single_logL
+    calc_point_batch.point_logL = point_logL
     return calc_point_batch

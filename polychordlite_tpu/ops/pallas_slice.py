@@ -137,28 +137,60 @@ def build_epoch_fn_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    # The kernel evaluates the likelihood directly in (D, S, 128) tile
-    # layout (vmap would insert Mosaic-hostile bool transposes), which
-    # requires the prior/likelihood to follow the axis-0 tile convention
-    # (models/examples.py).  Validate numerically against the batched path
-    # — a likelihood written with axis-less reductions would be silently
-    # wrong in tile layout, so a mismatch must reject the engine (the
-    # runner then falls back to scan).
+    # The kernel prefers to evaluate the likelihood directly in (D, S, 128)
+    # tile layout — zero data movement, reductions stay on the sublane axis
+    # — which requires the prior/likelihood to follow the axis-0 tile
+    # convention (models/examples.py).  Arbitrary traced likelihoods (the
+    # reference's unconstrained ``loglikelihood(theta, phi)`` contract,
+    # ``src/polychord/interfaces.F90:438-457``) are supported by a generic
+    # adapter: transpose the probe tile to point-major (N, D) inside the
+    # kernel and vmap the single-point evaluator over it.  Validate the
+    # tile path numerically against the batched path — a likelihood written
+    # with axis-less reductions would be silently wrong in tile layout, so
+    # a mismatch selects the generic adapter instead.
     _vk = jax.random.PRNGKey(20240131)
     _probe = jax.random.uniform(
         _vk, (SUBLANE * LANE, D), minval=-0.05, maxval=1.05
     ).astype(jnp.float32)
     _, _, _ref = calc_point_batch(_probe)
-    _got = tile_logL(_probe.T.reshape(D, SUBLANE, LANE)).reshape(-1)
-    _ref, _got = np.asarray(_ref, np.float64), np.asarray(_got, np.float64)
-    if _ref.shape != _got.shape or not np.allclose(
-        _ref, _got, rtol=1e-4, atol=1e-4
-    ):
-        raise ValueError(
-            "engine='pallas' needs a tile-convention likelihood "
-            "(parameter axis 0, reductions axis=0); tile evaluation "
-            "disagreed with the batched path — use engine='scan'"
+    try:
+        _got = tile_logL(_probe.T.reshape(D, SUBLANE, LANE)).reshape(-1)
+        _ref_a, _got_a = np.asarray(_ref, np.float64), np.asarray(_got, np.float64)
+        tile_ok = _ref_a.shape == _got_a.shape and np.allclose(
+            _ref_a, _got_a, rtol=1e-4, atol=1e-4
         )
+    except Exception:
+        tile_ok = False
+
+    if not tile_ok:
+        point_logL = getattr(calc_point_batch, "point_logL", None)
+        if point_logL is None:
+            raise ValueError(
+                "engine='pallas' needs a JAX-traceable prior+likelihood "
+                "(host-callback models must use engine='scan')"
+            )
+        vmapped_logL = jax.vmap(point_logL)
+
+        def tile_logL(cube_tile):
+            """Generic adapter: (D, S, L) tile -> (S, L) logL via a
+            point-major transpose + vmapped single-point evaluation."""
+            D_, S_, L_ = cube_tile.shape
+            flat = cube_tile.reshape(D_, S_ * L_).T
+            return vmapped_logL(flat).reshape(S_, L_)
+
+        # self-check (same math as the batched path by construction; guards
+        # against exotic shapes/dtypes in user code)
+        _got = tile_logL(_probe.T.reshape(D, SUBLANE, LANE)).reshape(-1)
+        if not np.allclose(
+            np.asarray(_ref, np.float64),
+            np.asarray(_got, np.float64),
+            rtol=1e-4,
+            atol=1e-4,
+        ):
+            raise ValueError(
+                "engine='pallas': likelihood evaluation disagreed with the "
+                "batched path — use engine='scan'"
+            )
 
     def _kernel(scal_ref, x0_in_ref, bound_ref, valid_ref, nhat_ref, w_ref,
                 out_cube_ref, out_logL_ref, out_nlike_ref, x0_ref):
