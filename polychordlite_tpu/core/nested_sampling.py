@@ -3,17 +3,22 @@
 TPU-native re-architecture of ``src/polychord/nested_sampling.F90``: instead
 of an MPI administrator/worker farm, each *epoch* generates a nursery of B
 independent slice chains in one jitted device call (sharded over the chain
-axis on a multi-chip mesh) and the host administrator consumes them one by
-one with the exact reference bookkeeping — a direct generalisation of the
-reference's synchronous mode (nested_sampling.F90:262-287) with B >> nprocs.
+axis on a multi-chip mesh); the host administrator consumes the nursery in
+vectorised chunks with the exact reference bookkeeping — a direct
+generalisation of the reference's synchronous mode
+(nested_sampling.F90:262-287) with B >> nprocs.  Epoch k+1 is dispatched to
+the device before epoch k is consumed, so device compute overlaps host
+bookkeeping (the reference's async administrator/worker overlap, :288-313).
 
 Correctness of batched consumption: every baby was generated uniformly within
 the iso-likelihood contour current at its epoch start; conditioning on its
 likelihood exceeding the *risen* contour at insertion time leaves it uniform
 within the new contour (the same argument that licenses the reference's
-asynchronous mode, :288-313).  Cluster reorganisations bump ``rti.epoch`` and
-discard the rest of the nursery, mirroring the administrator_epoch mechanism
-(:341,357,364)."""
+asynchronous mode, :288-313).  Cluster reorganisations bump ``rti.epoch``;
+instead of discarding the rest of the nursery (the MPI administrator_epoch
+mechanism, :341,357,364), the remaining babies are re-assigned to clusters by
+the same Voronoi rule ``add_cluster`` applies to in-flight phantoms
+(run_time_info.f90:444-453), so no generated work is thrown away."""
 
 from __future__ import annotations
 
@@ -43,13 +48,16 @@ from .generate import (
 )
 from .rti import (
     RunTimeInfo,
+    append_phantoms_batch,
     calculate_logZ_estimate,
     calculate_covmats,
     delete_cluster,
     delete_outermost_point,
     find_min_loglikelihoods,
+    identify_clusters_batch,
     live_logZ,
     replace_point,
+    try_replace_live,
     update_posteriors,
 )
 
@@ -98,6 +106,12 @@ def _dump(dumper, s: PolyChordSettings, rti: RunTimeInfo) -> None:
 
 
 def _write_products(s: PolyChordSettings, rti: RunTimeInfo, nlikesum, rng, key):
+    # file output is owned by process 0 only, as in the reference where all
+    # writes happen on the MPI administrator (nested_sampling.F90:329-334)
+    from ..parallel.distributed import is_root
+
+    if not is_root():
+        return
     if s.write_resume:
         resume_mod.write_resume_file(s, rti, rng, key)
     if s.write_live:
@@ -151,8 +165,11 @@ def nested_sampling(
 
     try:
         # --- resume or generate --------------------------------------------
+        from ..parallel.distributed import is_root
+
         io_mod.check_directories(s)
-        io_mod.write_properties_file(s)  # anesthetic compatibility marker
+        if is_root():
+            io_mod.write_properties_file(s)  # anesthetic compat marker
         resumed = False
         if s.read_resume and resume_mod.resume_file_exists(s):
             rti, rng_state, key_saved = resume_mod.read_resume_file(s, n_grades)
@@ -171,7 +188,7 @@ def nested_sampling(
             rti, ndiscarded, sec_per_eval = generate_live_points(
                 calc, s, rng, jax.random.fold_in(key, 0)
             )
-            if s.write_prior:
+            if s.write_prior and is_root():
                 io_mod.write_prior_file(s, rti)
                 io_mod.write_prior_info(s, s.resolved_nprior(), ndiscarded)
             speeds = time_speeds(calc, s, key)
@@ -188,7 +205,7 @@ def nested_sampling(
         if not resumed:
             while rti.total_nlive() > s.nlive:
                 delete_outermost_point(rti)
-            if s.write_resume:
+            if s.write_resume and is_root():
                 resume_mod.write_resume_file(s, rti, rng, key)
 
         num_repeats = tuple(int(x) for x in rti.num_repeats)
@@ -212,8 +229,12 @@ def nested_sampling(
         )
         _feedback(s, 1, f"chain batch {B} over {len(jax.devices())} device(s)")
 
+        from ..parallel.distributed import is_root as _is_root
+
         metrics = RunMetrics(
-            io_mod.root_path(s) + ".metrics.jsonl" if s.write_stats else None,
+            io_mod.root_path(s) + ".metrics.jsonl"
+            if s.write_stats and _is_root()
+            else None,
             resume=resumed,
         )
         nlikesum = np.zeros(n_grades, dtype=np.int64)
@@ -224,18 +245,32 @@ def nested_sampling(
         _feedback(s, 1, "Started sampling")
 
         # --- main loop ------------------------------------------------------
+        # Async overlap (nested_sampling.F90:288-313 license): epoch k+1 is
+        # dispatched to the device BEFORE the host consumes epoch k's nursery,
+        # so device compute and host bookkeeping run concurrently.  Babies are
+        # then up to two nurseries stale; acceptance against the current
+        # contour (and Voronoi re-validation after cluster reorganisations)
+        # keeps the sampling exact for the same reason the reference's async
+        # mode is.
         running = more_samples_needed(s, rti)
-        while running and failures <= nfail and rti.ncluster > 0:
+
+        def _dispatch():
+            nonlocal epoch_idx
             seeds, cluster_ids = generate_seeds(rti, B, rng)
-            bound = rti.logLp[cluster_ids]
+            bound = np.asarray(rti.logLp[cluster_ids], dtype=np.float64).copy()
             chol = rti.cholesky[cluster_ids]
             epoch_key = jax.random.fold_in(key, 100_000 + epoch_idx)
             epoch_idx += 1
+            handle = run_epoch.dispatch(epoch_key, seeds[:, s.h], bound, chol)
+            return handle, bound, np.asarray(cluster_ids), rti.epoch
 
+        pending = _dispatch() if running else None
+        while running and failures <= nfail and rti.ncluster > 0:
+            handle, bound, cluster_ids, epoch_at_dispatch = pending
             with metrics.device_epoch():
-                b_cube, b_theta, b_phi, b_logL, nlike = run_epoch(
-                    epoch_key, seeds[:, s.h], bound, chol
-                )
+                b_cube, b_theta, b_phi, b_logL, nlike = run_epoch.collect(handle)
+            # overlap: enqueue the next nursery before consuming this one
+            pending = _dispatch()
             nlike = nlike.sum(axis=0)
             rti.nlike += nlike
             nlikesum += nlike
@@ -250,57 +285,91 @@ def nested_sampling(
             babies[:, :, s.b0] = bound[:, None]
             babies[:, :, s.l0] = b_logL
 
-            # --- consume the nursery --------------------------------------
-            epoch0 = rti.epoch
-            for b in range(B):
-                if rti.epoch != epoch0:
-                    break  # stale cluster ids after reorganisation
-                if not running or failures > nfail:
-                    break
-                if replace_point(rti, babies[b], int(cluster_ids[b])):
-                    failures = 0
-                else:
-                    failures += 1
-
-                update = logsumexp(np, rti.logXp) <= rti.logX_last_update + math.log(
-                    s.compression_factor
-                )
-                if update:
-                    rti.logX_last_update = float(logsumexp(np, rti.logXp))
-                    update_posteriors(rti)
-                    _write_products(s, rti, nlikesum, rng, key)
-                    _dump(dumper, s, rti)
-
-                delete_cluster(rti)
-                if rti.ncluster == 0:
-                    break
-
-                if update:
-                    logZ, varlogZ, *_ = calculate_logZ_estimate(rti)
-                    metrics.record(
-                        ndead=rti.ndead,
-                        nlive=rti.total_nlive(),
-                        ncluster=rti.ncluster,
-                        logZ=logZ,
-                        varlogZ=varlogZ,
-                        nlike=int(rti.nlike.sum()),
+            # --- consume the nursery in vectorised chunks -------------------
+            # Cluster reorganisations no longer discard the remaining nursery
+            # (round-1 behaviour): stale seed-cluster ids are re-assigned by
+            # the same Voronoi rule add_cluster applies to phantoms
+            # (run_time_info.f90:444-453).
+            ids = cluster_ids.copy()
+            if rti.epoch != epoch_at_dispatch:
+                ids = identify_clusters_batch(rti, babies[:, -1])
+            chunk = max(8, min(64, s.nlive // 8))
+            b0 = 0
+            while (
+                b0 < B and running and failures <= nfail and rti.ncluster > 0
+            ):
+                b1 = min(b0 + chunk, B)
+                epoch0 = rti.epoch
+                # phantom candidates of the chunk, one batched insert
+                if R > 1:
+                    append_phantoms_batch(
+                        rti,
+                        babies[b0:b1, :-1].reshape(-1, s.nTotal),
+                        np.repeat(ids[b0:b1], R - 1),
                     )
-                    frac = math.exp(
-                        min(live_logZ(rti) - rti.logZ, 700.0)
-                    ) if rti.logZ > s.logzero else float("inf")
-                    fb.write_intermediate_results(
-                        s, rti, nlikesum, logZ, varlogZ, frac
+                # live candidates: Voronoi membership precomputed per chunk
+                lpts = babies[b0:b1, -1]
+                assign = identify_clusters_batch(rti, lpts)
+                b = b0
+                while b < b1:
+                    if rti.epoch != epoch0:
+                        break  # reorganisation: re-validate remaining babies
+                    i = b - b0
+                    res = try_replace_live(
+                        rti, lpts[i], int(ids[b]), bool(assign[i] == ids[b])
                     )
-                    nlikesum[:] = 0
-                    if s.do_clustering:
-                        if s.sub_clustering_dimensions:
-                            do_clustering(rti, s.sub_clustering_dimensions)
-                        do_clustering(rti)
-                    calculate_covmats(rti)
+                    b += 1
+                    if res is True:
+                        failures = 0
+                    else:
+                        failures += 1
+                        if failures > nfail:
+                            break
 
-                running = more_samples_needed(s, rti)
+                    update = logsumexp(
+                        np, rti.logXp
+                    ) <= rti.logX_last_update + math.log(s.compression_factor)
+                    if update:
+                        rti.logX_last_update = float(logsumexp(np, rti.logXp))
+                        update_posteriors(rti)
+                        _write_products(s, rti, nlikesum, rng, key)
+                        _dump(dumper, s, rti)
 
-        if s.write_resume:
+                    delete_cluster(rti)
+                    if rti.ncluster == 0:
+                        break
+
+                    if update:
+                        logZ, varlogZ, *_ = calculate_logZ_estimate(rti)
+                        metrics.record(
+                            ndead=rti.ndead,
+                            nlive=rti.total_nlive(),
+                            ncluster=rti.ncluster,
+                            logZ=logZ,
+                            varlogZ=varlogZ,
+                            nlike=int(rti.nlike.sum()),
+                        )
+                        frac = math.exp(
+                            min(live_logZ(rti) - rti.logZ, 700.0)
+                        ) if rti.logZ > s.logzero else float("inf")
+                        fb.write_intermediate_results(
+                            s, rti, nlikesum, logZ, varlogZ, frac
+                        )
+                        nlikesum[:] = 0
+                        if s.do_clustering:
+                            if s.sub_clustering_dimensions:
+                                do_clustering(rti, s.sub_clustering_dimensions)
+                            do_clustering(rti)
+                        calculate_covmats(rti)
+
+                    running = more_samples_needed(s, rti)
+                    if not running:
+                        break
+                if rti.epoch != epoch0 and rti.ncluster > 0 and b < B:
+                    ids[b:] = identify_clusters_batch(rti, babies[b:, -1])
+                b0 = b
+
+        if s.write_resume and is_root():
             resume_mod.write_resume_file(s, rti, rng, key)
 
         # --- optional maximisation -----------------------------------------
@@ -315,14 +384,17 @@ def nested_sampling(
             delete_cluster(rti)
 
         update_posteriors(rti)
-        if s.write_live:
-            io_mod.write_phys_live_points(s, rti)
-        if s.equals or s.posteriors:
-            io_mod.write_posterior_files(s, rti)
-        if s.write_dead:
-            io_mod.write_dead_points(s, rti)
-        if s.write_stats:
-            io_mod.write_stats_file(s, rti, nlikesum)
+        from ..parallel.distributed import is_root
+
+        if is_root():
+            if s.write_live:
+                io_mod.write_phys_live_points(s, rti)
+            if s.equals or s.posteriors:
+                io_mod.write_posterior_files(s, rti)
+            if s.write_dead:
+                io_mod.write_dead_points(s, rti)
+            if s.write_stats:
+                io_mod.write_stats_file(s, rti, nlikesum)
         _dump(dumper, s, rti)
 
         logZ, varlogZ, *_ = calculate_logZ_estimate(rti)

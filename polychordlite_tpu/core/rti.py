@@ -213,6 +213,24 @@ class RunTimeInfo:
 # ----------------------------------------------------------------------
 
 
+from ..ops.logspace import LOG_ZERO
+
+
+def _laddexp(a: float, b: float) -> float:
+    """Scalar logaddexp with LOG_ZERO short-circuits (utils.F90:376-402).
+
+    Pure ``math`` version: ``update_evidence`` runs once per dead point on
+    the host administrator hot path and numpy-scalar dispatch overhead was
+    measured to dominate it."""
+    if a < b:
+        a, b = b, a
+    if a <= LOG_ZERO:
+        return LOG_ZERO
+    if b <= LOG_ZERO:
+        return a
+    return a + math.log1p(math.exp(b - a))
+
+
 def update_evidence(rti: RunTimeInfo, p: int) -> float:
     """Delete the lowest point of cluster p from the evidence bookkeeping.
 
@@ -228,55 +246,56 @@ def update_evidence(rti: RunTimeInfo, p: int) -> float:
     lognp = math.log(n)
     lognp1 = math.log(n + 1.0)
     lognp2 = math.log(n + 2.0)
+    ncl = rti.ncluster
 
-    logweight = rti.logXp[p] - lognp1
+    logXp_p = float(rti.logXp[p])
+    logXpXq_pp = float(rti.logXpXq[p, p])
+    logweight = logXp_p - lognp1
 
     # global and local evidence means
-    rti.logZ = logincexp(np, rti.logZ, rti.logXp[p] + logL - lognp1)
-    rti.logZp[p] = logincexp(np, rti.logZp[p], rti.logXp[p] + logL - lognp1)
+    rti.logZ = _laddexp(float(rti.logZ), logXp_p + logL - lognp1)
+    rti.logZp[p] = _laddexp(float(rti.logZp[p]), logXp_p + logL - lognp1)
     # local volume contraction
-    rti.logXp[p] = rti.logXp[p] + lognp - lognp1
+    rti.logXp[p] = logXp_p + lognp - lognp1
 
     # global evidence second moment
-    rti.logZ2 = logincexp(
-        np,
-        rti.logZ2,
-        log2 + rti.logZXp[p] + logL - lognp1,
-        log2 + rti.logXpXq[p, p] + 2 * logL - lognp1 - lognp2,
+    rti.logZ2 = _laddexp(
+        _laddexp(float(rti.logZ2), log2 + float(rti.logZXp[p]) + logL - lognp1),
+        log2 + logXpXq_pp + 2 * logL - lognp1 - lognp2,
     )
 
     # global evidence-volume cross correlation, q = p
-    rti.logZXp[p] = rti.logZXp[p] + lognp - lognp1
-    rti.logZXp[p] = logincexp(
-        np, rti.logZXp[p], rti.logXpXq[p, p] + logL + lognp - lognp1 - lognp2
+    rti.logZXp[p] = _laddexp(
+        float(rti.logZXp[p]) + lognp - lognp1,
+        logXpXq_pp + logL + lognp - lognp1 - lognp2,
     )
-    # ... and q != p
-    for q in range(rti.ncluster):
-        if q != p:
-            rti.logZXp[q] = logincexp(
-                np, rti.logZXp[q], rti.logXpXq[p, q] + logL - lognp1
-            )
+    # ... and q != p (vectorised over clusters)
+    if ncl > 1:
+        others = np.arange(ncl) != p
+        rti.logZXp[others] = logaddexp(
+            np, rti.logZXp[others], rti.logXpXq[p, others] + logL - lognp1
+        )
 
     # local evidence second moment
-    rti.logZp2[p] = logincexp(
-        np,
-        rti.logZp2[p],
-        log2 + rti.logZpXp[p] + logL - lognp1,
-        log2 + rti.logXpXq[p, p] + 2 * logL - lognp1 - lognp2,
+    rti.logZp2[p] = _laddexp(
+        _laddexp(float(rti.logZp2[p]), log2 + float(rti.logZpXp[p]) + logL - lognp1),
+        log2 + logXpXq_pp + 2 * logL - lognp1 - lognp2,
     )
 
     # local evidence-volume cross correlation
-    rti.logZpXp[p] = rti.logZpXp[p] + lognp - lognp1
-    rti.logZpXp[p] = logincexp(
-        np, rti.logZpXp[p], rti.logXpXq[p, p] + logL + lognp - lognp1 - lognp2
+    rti.logZpXp[p] = _laddexp(
+        float(rti.logZpXp[p]) + lognp - lognp1,
+        logXpXq_pp + logL + lognp - lognp1 - lognp2,
     )
 
     # volume-volume cross correlations
-    rti.logXpXq[p, p] += lognp - lognp2
-    for q in range(rti.ncluster):
-        if q != p:
-            rti.logXpXq[p, q] += lognp - lognp1
-            rti.logXpXq[q, p] += lognp - lognp1
+    if ncl > 1:
+        delta = lognp - lognp1
+        rti.logXpXq[p, :] += delta
+        rti.logXpXq[:, p] += delta
+        rti.logXpXq[p, p] = logXpXq_pp + lognp - lognp2
+    else:
+        rti.logXpXq[p, p] += lognp - lognp2
 
     return float(logweight)
 
@@ -315,11 +334,13 @@ def live_logZ(rti: RunTimeInfo) -> float:
 # ----------------------------------------------------------------------
 
 
-def find_min_loglikelihoods(rti: RunTimeInfo) -> None:
+def find_min_loglikelihoods(rti: RunTimeInfo, only: Optional[int] = None) -> None:
     """Per-cluster argmin of live logL (run_time_info.f90:883-909); empty
-    clusters get logLp = +huge so they are never selected for deletion."""
+    clusters get logLp = +huge so they are never selected for deletion.
+    ``only`` restricts the update to one cluster (insert/delete touch one)."""
     s = rti.settings
-    for p in range(rti.ncluster):
+    clusters = range(rti.ncluster) if only is None else (only,)
+    for p in clusters:
         if rti.live[p].shape[0] == 0:
             rti.i[p] = -1
             rti.logLp[p] = HUGE
@@ -399,9 +420,13 @@ def delete_outermost_point(rti: RunTimeInfo) -> None:
     p = int(np.argmin(rti.logLp[: rti.ncluster]))
     logweight = update_evidence(rti, p)
     idx = int(rti.i[p])
-    deleted = rti.live[p][idx].copy()
-    rti.live[p] = np.delete(rti.live[p], idx, axis=0)
-    find_min_loglikelihoods(rti)
+    lp = rti.live[p]
+    deleted = lp[idx].copy()
+    # swap-with-last removal, as the reference's delete_point
+    # (array_utils.f90:433-463) — O(nTotal), no reallocation
+    lp[idx] = lp[-1]
+    rti.live[p] = lp[:-1]
+    find_min_loglikelihoods(rti, only=p)
     rti.dead.append(deleted)
     rti.ndead += 1
     rti.logweights.append(logweight)
@@ -413,6 +438,65 @@ def delete_outermost_point(rti: RunTimeInfo) -> None:
     w = pp[s.pos_w] + pp[s.pos_l]
     rti.maxlogweight[p] = max(rti.maxlogweight[p], w)
     rti.maxlogweight_global = max(rti.maxlogweight_global, rti.maxlogweight[p])
+
+
+def append_phantoms_batch(
+    rti: RunTimeInfo, pts: np.ndarray, cluster_add: np.ndarray
+) -> None:
+    """Vectorised phantom insertion for a chunk of candidate points.
+
+    Same acceptance rule as the per-point path in ``replace_point``
+    (run_time_info.f90:716-787): above the current global contour AND in the
+    Voronoi cell of the cluster the chain was seeded from — but with ONE
+    ``identify_clusters_batch`` call for the whole chunk instead of a Python
+    loop (the chunk is consumed against a single contour snapshot, which the
+    reference's async mode licenses, nested_sampling.F90:288-313)."""
+    if pts.shape[0] == 0:
+        return
+    s = rti.settings
+    logL = float(np.min(rti.logLp[: rti.ncluster]))
+    above = pts[:, s.l0] > logL
+    if not above.any():
+        return
+    pts, cluster_add = pts[above], cluster_add[above]
+    assign = identify_clusters_batch(rti, pts)
+    ok = assign == cluster_add
+    if not ok.any():
+        return
+    pts, assign = pts[ok], assign[ok]
+    for j in np.unique(assign):
+        rti.phantom[int(j)].extend(pts[assign == j])
+
+
+def try_replace_live(
+    rti: RunTimeInfo, pt: np.ndarray, cluster_add: int, in_cell: bool
+) -> Optional[bool]:
+    """Live-candidate half of ``replace_point`` with the Voronoi membership
+    test precomputed (``in_cell``).  Returns True if a live point was
+    replaced, False if the spawn failed, None if the candidate was dead on
+    arrival (recorded with zero weight, run_time_info.f90:781-785)."""
+    s = rti.settings
+    logL = float(np.min(rti.logLp[: rti.ncluster]))
+    if pt[s.l0] > logL:
+        if in_cell:
+            nlive_target = s.nlive_at(logL)
+            if rti.total_nlive() >= max(nlive_target, 1):
+                delete_outermost_point(rti)
+                if rti.total_nlive() < nlive_target:
+                    rti.live[cluster_add] = np.vstack(
+                        [rti.live[cluster_add], pt]
+                    )
+                    find_min_loglikelihoods(rti, only=cluster_add)
+                return True
+            if rti.total_nlive() < nlive_target:
+                rti.live[cluster_add] = np.vstack([rti.live[cluster_add], pt])
+                find_min_loglikelihoods(rti, only=cluster_add)
+            return False
+        return False
+    rti.dead.append(pt.copy())
+    rti.ndead += 1
+    rti.logweights.append(s.logzero)
+    return None
 
 
 def replace_point(

@@ -35,7 +35,23 @@ def run_ini(inifile: str, likelihood_name=None, loglikelihood=None):
                 f"no example likelihood named {name!r}; available: "
                 f"{', '.join(sorted(LIKELIHOODS))}"
             )
-        like = get_likelihood(name, settings.nDims)
+        kwargs = {}
+        if name in ("fitting", "object_detection"):
+            # data-driven examples read the reference data/ formats; the
+            # directory comes from the ini's `data_dir` key (default: a
+            # data/ directory next to the ini file, like the reference's
+            # hard-coded relative 'data/' paths in fitting.f90)
+            import os
+
+            data_dir = kv.get("data_dir")
+            if data_dir is None:
+                candidate = os.path.join(
+                    os.path.dirname(os.path.abspath(inifile)), "..", "data"
+                )
+                if os.path.exists(os.path.join(candidate, "data.dat")):
+                    data_dir = candidate
+            kwargs["data_dir"] = data_dir
+        like = get_likelihood(name, settings.nDims, **kwargs)
 
     if blocks:
 

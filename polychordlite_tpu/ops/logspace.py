@@ -27,7 +27,11 @@ def logsumexp(xp, a, axis=None, where=None):
     amax = xp.max(a, axis=axis, keepdims=True)
     # Guard: if everything is LOG_ZERO the result is LOG_ZERO, not nan.
     amax_safe = xp.where(amax > LOG_ZERO, amax, 0.0)
-    out = xp.log(xp.sum(xp.exp(a - amax_safe), axis=axis)) + xp.squeeze(
+    # Clamp the sum away from 0 before the log: all-LOG_ZERO slices would
+    # otherwise emit divide-by-zero warnings for a value the final `where`
+    # discards anyway.
+    total = xp.maximum(xp.sum(xp.exp(a - amax_safe), axis=axis), 1e-300)
+    out = xp.log(total) + xp.squeeze(
         amax_safe, axis=axis if axis is not None else None
     )
     collapsed_max = xp.squeeze(amax, axis=axis if axis is not None else None)

@@ -111,19 +111,35 @@ def make_epoch_runner(
             )
         return engines["scan"]
 
-    def run(key, seed_cube, bound, chol):
+    def dispatch(key, seed_cube, bound, chol):
+        """Enqueue one epoch on the device WITHOUT blocking (JAX async
+        dispatch) — the host consumes the previous nursery while the device
+        computes, the reference's async administrator/worker overlap
+        (nested_sampling.F90:288-313)."""
         packed_in = pack_epoch_inputs(
             np.asarray(seed_cube, dtype=np.float32),
             np.asarray(bound, dtype=np.float32),
             np.asarray(chol, dtype=np.float32),
         )
         try:
-            packed_out = fetch(engines["current"](key, to_device(packed_in)))
+            out = engines["current"](key, to_device(packed_in))
         except Exception:
             if cfg.engine == "scan":
                 raise
             # pallas engine failed to lower/compile for this model on this
             # backend: permanently fall back to the scan engine
+            engines["current"] = scan_fallback()
+            out = engines["current"](key, to_device(packed_in))
+        return (key, packed_in, out)
+
+    def collect(handle):
+        """Block on a dispatched epoch and unpack its nursery."""
+        key, packed_in, out = handle
+        try:
+            packed_out = fetch(out)
+        except Exception:
+            if cfg.engine == "scan":
+                raise
             engines["current"] = scan_fallback()
             packed_out = fetch(engines["current"](key, to_device(packed_in)))
         if cfg.engine == "ring" and epoch_overflowed(packed_out):
@@ -132,4 +148,9 @@ def make_epoch_runner(
             packed_out = fetch(scan_fallback()(key, to_device(packed_in)))
         return unpack_epoch(packed_out, cfg)
 
+    def run(key, seed_cube, bound, chol):
+        return collect(dispatch(key, seed_cube, bound, chol))
+
+    run.dispatch = dispatch
+    run.collect = collect
     return run, B

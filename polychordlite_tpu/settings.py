@@ -205,10 +205,19 @@ class PolyChordSettings:
         return self.nlive if self.nfail <= 0 else self.nfail
 
     def resolved_batch_size(self) -> int:
+        """Chain-batch width B per device epoch.
+
+        Default B = nlive: one volume e-fold of deletions per epoch, the
+        largest batch that keeps nursery staleness (and hence the
+        dead-on-arrival fraction) modest.  Measured on the tunneled TPU
+        (4-D quickstart, nlive=200): B=nlive/4 gives 21 dead/s (latency
+        bound), B=nlive 481 dead/s at 0.7 sigma accuracy; B=5*nlive is
+        faster still but biases logZ by >2 sigma — staleness outruns the
+        slice chains' mixing."""
         if self.batch_size > 0:
             b = self.batch_size
         else:
-            b = max(32, self.nlive // 4)
+            b = max(32, self.nlive)
         return -(-b // 8) * 8  # round up to a multiple of 8 (VPU sublanes)
 
 

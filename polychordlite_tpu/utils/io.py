@@ -31,6 +31,17 @@ def _fmt_row(vals) -> str:
     return "".join(_F % v for v in np.atleast_1d(vals))
 
 
+def _fmt_matrix(arr: np.ndarray) -> List[str]:
+    """Format a 2-D array as fixed-width rows with ONE ``%`` call per row —
+    the writers below are on the per-update hot path (the reference rewrites
+    its products every e-fold too, read_write.F90:329-334)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.size == 0:
+        return []
+    fmt = _F * arr.shape[1]
+    return [fmt % tuple(r) for r in arr]
+
+
 def root_path(s: PolyChordSettings) -> str:
     return os.path.join(s.base_dir, s.file_root)
 
@@ -171,10 +182,18 @@ def write_posterior_files(s: PolyChordSettings, rti: RunTimeInfo) -> None:
     logZ_mean = rti.logZ  # log<Z>, used for cluster weight ratios (:531,:579)
 
     if s.equals:
-        lines = []
-        for row in rti.equals_global:
-            lines.append(_fmt_row(np.concatenate([[1.0], row[s.p_2l :]])))
-        _atomic_write(root_path(s) + "_equal_weights.txt", lines)
+
+        def _equal_matrix(eq, w):
+            eq = np.asarray(eq.data if hasattr(eq, "data") else eq)
+            out = np.empty((eq.shape[0], 1 + eq.shape[1] - s.p_2l))
+            out[:, 0] = w
+            out[:, 1:] = eq[:, s.p_2l :]
+            return out
+
+        _atomic_write(
+            root_path(s) + "_equal_weights.txt",
+            _fmt_matrix(_equal_matrix(rti.equals_global, 1.0)),
+        )
 
         if s.cluster_posteriors:
             for rank, c in enumerate(ordering):
@@ -184,26 +203,32 @@ def write_posterior_files(s: PolyChordSettings, rti: RunTimeInfo) -> None:
                     eq = rti.equals_dead[c - rti.ncluster]
                     lz = rti.logZp_dead[c - rti.ncluster]
                 w = math.exp(min(lz - logZ_mean, 0.0)) if lz > s.logzero else 0.0
-                lines = [
-                    _fmt_row(np.concatenate([[w], row[s.p_2l :]])) for row in eq
-                ]
                 _atomic_write(
-                    cluster_root(s, rank + 1) + "_equal_weights.txt", lines
+                    cluster_root(s, rank + 1) + "_equal_weights.txt",
+                    _fmt_matrix(_equal_matrix(eq, w)),
                 )
 
     if s.posteriors:
-        lines = []
-        for row in rti.posterior_global:
-            w = math.exp(
-                min(row[s.pos_w] + row[s.pos_l] - rti.maxlogweight_global, 0.0)
-            )
-            if w > 0.0:
-                lines.append(
-                    _fmt_row(
-                        np.concatenate([[w, -2 * row[s.pos_l]], row[s.pos_pd]])
-                    )
-                )
-        _atomic_write(root_path(s) + ".txt", lines)
+
+        def _weighted_matrix(post, shift):
+            post = np.asarray(post.data if hasattr(post, "data") else post)
+            if post.shape[0] == 0:
+                return post.reshape(0, 2 + len(s.pos_pd))
+            w = np.exp(np.minimum(post[:, s.pos_w] + post[:, s.pos_l] + shift, 0.0))
+            keep = w > 0.0
+            post, w = post[keep], w[keep]
+            out = np.empty((post.shape[0], 2 + post[:, s.pos_pd].shape[1]))
+            out[:, 0] = w
+            out[:, 1] = -2 * post[:, s.pos_l]
+            out[:, 2:] = post[:, s.pos_pd]
+            return out
+
+        _atomic_write(
+            root_path(s) + ".txt",
+            _fmt_matrix(
+                _weighted_matrix(rti.posterior_global, -rti.maxlogweight_global)
+            ),
+        )
 
         if s.cluster_posteriors:
             for rank, c in enumerate(ordering):
@@ -217,20 +242,10 @@ def write_posterior_files(s: PolyChordSettings, rti: RunTimeInfo) -> None:
                     post = rti.posterior_dead[c - rti.ncluster]
                     lz = rti.logZp_dead[c - rti.ncluster]
                     mlw = rti.maxlogweight_dead[c - rti.ncluster]
-                lines = []
-                for row in post:
-                    w = math.exp(
-                        min(row[s.pos_w] + row[s.pos_l] - mlw + lz - logZ_mean, 0.0)
-                    )
-                    if w > 0.0:
-                        lines.append(
-                            _fmt_row(
-                                np.concatenate(
-                                    [[w, -2 * row[s.pos_l]], row[s.pos_pd]]
-                                )
-                            )
-                        )
-                _atomic_write(cluster_root(s, rank + 1) + ".txt", lines)
+                _atomic_write(
+                    cluster_root(s, rank + 1) + ".txt",
+                    _fmt_matrix(_weighted_matrix(post, lz - logZ_mean - mlw)),
+                )
 
 
 def write_phys_live_points(s: PolyChordSettings, rti: RunTimeInfo) -> None:
@@ -239,12 +254,12 @@ def write_phys_live_points(s: PolyChordSettings, rti: RunTimeInfo) -> None:
     check_directories(s)
     lines, lines_birth = [], []
     for c in range(rti.ncluster):
-        cl_lines = []
-        for row in rti.live[c]:
-            cl_lines.append(_fmt_row(np.concatenate([row[s.pd], [row[s.l0]]])))
-            lines_birth.append(
-                _fmt_row(np.concatenate([row[s.pd], [row[s.l0], row[s.b0]]]))
-            )
+        lp = rti.live[c]
+        cl = np.concatenate([lp[:, s.pd], lp[:, [s.l0]]], axis=1)
+        cl_lines = _fmt_matrix(cl)
+        lines_birth += _fmt_matrix(
+            np.concatenate([lp[:, s.pd], lp[:, [s.l0, s.b0]]], axis=1)
+        )
         lines += cl_lines
         if s.do_clustering:
             _atomic_write(
@@ -259,30 +274,50 @@ def write_phys_live_points(s: PolyChordSettings, rti: RunTimeInfo) -> None:
 
 def write_dead_points(s: PolyChordSettings, rti: RunTimeInfo) -> None:
     """``<root>_dead.txt`` (logL first) and ``<root>_dead-birth.txt``
-    (params, logL, birth) (read_write.F90:679-719)."""
+    (params, logL, birth) (read_write.F90:679-719).
+
+    The dead array is append-only, so mid-run updates append just the new
+    rows (tracked via ``rti._dead_rows_written``) instead of the reference's
+    full rewrite — the run product is identical, the cost drops from
+    O(ndead^2) to O(ndead) over a run."""
     check_directories(s)
-    dead = rti.dead_array()
-    _atomic_write(
-        root_path(s) + "_dead.txt",
-        [_fmt_row(np.concatenate([[row[s.l0]], row[s.pd]])) for row in dead],
+    written = getattr(rti, "_dead_rows_written", None)
+    path_d = root_path(s) + "_dead.txt"
+    path_b = root_path(s) + "_dead-birth.txt"
+    full = (
+        written is None
+        or written > rti.ndead
+        or not (os.path.exists(path_d) and os.path.exists(path_b))
     )
-    _atomic_write(
-        root_path(s) + "_dead-birth.txt",
-        [
-            _fmt_row(np.concatenate([row[s.pd], [row[s.l0], row[s.b0]]]))
-            for row in dead
-        ],
+    start = 0 if full else written
+    if start == rti.ndead and not full:
+        return
+    dead = (
+        np.stack(rti.dead[start:])
+        if rti.dead[start:]
+        else np.zeros((0, s.nTotal))
     )
+    lines_d = _fmt_matrix(np.concatenate([dead[:, [s.l0]], dead[:, s.pd]], axis=1))
+    lines_b = _fmt_matrix(
+        np.concatenate([dead[:, s.pd], dead[:, [s.l0, s.b0]]], axis=1)
+    )
+    mode = "w" if full else "a"
+    for path, lines in ((path_d, lines_d), (path_b, lines_b)):
+        with open(path, mode) as f:
+            if lines:
+                f.write("\n".join(lines))
+                f.write("\n")
+    rti._dead_rows_written = rti.ndead
 
 
 def write_prior_file(s: PolyChordSettings, rti: RunTimeInfo) -> None:
     """``<root>_prior.txt`` (read_write.F90:721-752)."""
     check_directories(s)
-    lines = [
-        _fmt_row(np.concatenate([[1.0, -2 * row[s.l0]], row[s.pd]]))
-        for row in rti.live[0]
-    ]
-    _atomic_write(root_path(s) + "_prior.txt", lines)
+    lp = rti.live[0]
+    mat = np.concatenate(
+        [np.ones((lp.shape[0], 1)), -2 * lp[:, [s.l0]], lp[:, s.pd]], axis=1
+    )
+    _atomic_write(root_path(s) + "_prior.txt", _fmt_matrix(mat))
 
 
 def write_prior_info(s: PolyChordSettings, nprior: int, ndiscarded: int) -> None:

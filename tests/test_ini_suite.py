@@ -53,3 +53,28 @@ def test_cli_smoke(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "logZ" in out.stdout
     assert (tmp_path / "gaussian_shells.stats").exists()
+
+
+@pytest.mark.parametrize("name", ["fitting", "object_detection"])
+def test_data_driven_ini_runs(tmp_path, name):
+    """The two data-driven trans-dimensional examples run end-to-end from
+    their shipped inis against the vendored reference data/ files
+    (reference ini/fitting.ini, ini/object_detection.ini)."""
+    import math
+
+    from polychordlite_tpu.inidriver import run_ini
+
+    src = open(os.path.join(REPO, "ini", f"{name}.ini")).read()
+    src = (
+        src.replace("nlive = 500", "nlive = 40")
+        .replace("nlive = 50", "nlive = 40")
+        .replace("base_dir = chains", f"base_dir = {tmp_path}")
+        .replace("feedback = 1", "feedback = -1\nmax_ndead = 120\nseed = 3")
+        .replace("data_dir = data", f"data_dir = {os.path.join(REPO, 'data')}")
+    )
+    ini = tmp_path / f"{name}.ini"
+    ini.write_text(src)
+    out = run_ini(str(ini))
+    assert out["ndead"] > 0
+    assert math.isfinite(out["logZ"])
+    assert (tmp_path / f"{name}_phys_live.txt").exists()
