@@ -221,7 +221,7 @@ def build_epoch_fn_pallas(
         f32 = lambda v=0.0: jnp.full((S, LANE), v, jnp.float32)  # noqa: E731
         i32 = lambda v=0: jnp.full((S, LANE), v, jnp.int32)  # noqa: E731
 
-        def body(c):
+        def micro(c):
             (it, tL, tR, rstep, lstep, nshrink, need_r, need_l, phase,
              acc_cube, acc_logL, nlike) = c
 
@@ -288,6 +288,16 @@ def build_epoch_fn_pallas(
             phase = jnp.where(acc, PH_DONE, phase)
             return (it + np.int32(1), tL, tR, rstep, lstep, nshrink,
                     need_r, need_l, phase, acc_cube, acc_logL, nlike)
+
+        def body(c):
+            # 4 state-machine micro-steps per while iteration: the Mosaic
+            # while's per-iteration control overhead dominates the (cheap)
+            # vector work, so unrolling amortises it; DONE lanes are no-ops
+            # under the phase gating, and the per-micro-step `it` counter
+            # keeps the RNG stream identical to the unrolled form.
+            for _ in range(4):
+                c = micro(c)
+            return c
 
         def cond(c):
             return (c[0] < max_inner) & jnp.any(c[8] != PH_DONE)

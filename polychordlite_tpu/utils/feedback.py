@@ -61,7 +61,9 @@ def write_num_repeats(num_repeats, feedback: int) -> None:
 
 
 def write_intermediate_results(settings, rti, nlikesum, logZ, varlogZ, live_frac) -> None:
-    """Progress block (feedback.f90 write_intermediate_results)."""
+    """Progress block (feedback.f90 write_intermediate_results):
+    normal = one line; fancy (2) adds the per-cluster evidence table;
+    verbose (3) adds per-cluster phantom/posterior occupancy."""
     if settings.feedback < NORMAL_FB:
         return
     _emit(
@@ -69,16 +71,33 @@ def write_intermediate_results(settings, rti, nlikesum, logZ, varlogZ, live_frac
         f"{math.sqrt(abs(varlogZ)):6.3f} | nclusters: {rti.ncluster} | "
         f"live frac: {live_frac:.3e} | nlike: {int(rti.nlike.sum())}"
     )
-    if settings.feedback >= VERBOSE_FB:
+    if settings.feedback >= FANCY_FB:
         from ..core.rti import calculate_logZ_estimate
 
-        _, _, logZp, varlogZp, _, _ = calculate_logZ_estimate(rti)
+        _, _, logZp, varlogZp, logZpd, varlogZpd = calculate_logZ_estimate(rti)
+        _emit(" cluster |      log(Z_p) +/- sigma | nlive | logX_p")
+        _emit(" --------+-------------------------+-------+--------")
         for p in range(rti.ncluster):
             _emit(
-                f"  log(Z_{p + 1}) = {logZp[p]:10.3f} +/- "
-                f"{math.sqrt(abs(varlogZp[p])):6.3f}  "
-                f"(nlive {rti.live[p].shape[0]})"
+                f"  {p + 1:6d} | {logZp[p]:13.3f} +/- {math.sqrt(abs(varlogZp[p])):7.3f} |"
+                f" {rti.live[p].shape[0]:5d} | {rti.logXp[p]:7.2f}"
             )
+        for p in range(rti.ncluster_dead):
+            _emit(
+                f"  {rti.ncluster + p + 1:5d}+ | {logZpd[p]:13.3f} +/-"
+                f" {math.sqrt(abs(varlogZpd[p])):7.3f} |     0 |    ---"
+            )
+    if settings.feedback >= VERBOSE_FB:
+        for p in range(rti.ncluster):
+            _emit(
+                f"   cluster {p + 1}: nphantom {len(rti.phantom[p])}, "
+                f"posterior stack {len(rti.posterior_stack[p])}, "
+                f"maxlogweight {rti.maxlogweight[p]:.3f}"
+            )
+        _emit(
+            f"   nlike by grade: {rti.nlike.tolist()} "
+            f"(since last update: {list(map(int, nlikesum))})"
+        )
 
 
 def write_final_results(logZ, varlogZ, ndead, nlike, seconds, feedback: int) -> None:

@@ -297,3 +297,12 @@ class TestResume:
         s.finalise()
         with pytest.raises(ValueError):
             resume_mod.read_resume_file(s, 1)
+
+
+def test_fancy_feedback_prints_cluster_table(tmp_path, capsys):
+    """feedback=2 prints the per-cluster evidence table each update
+    (reference fancy mode, feedback.f90 / utils.F90:22-26)."""
+    run_small(tmp_path, feedback=2, max_ndead=150)
+    out = capsys.readouterr().out
+    assert "cluster |" in out and "log(Z_p)" in out
+    assert "logX_p" in out
