@@ -10,7 +10,16 @@ name), and run.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# Honour JAX_PLATFORMS even on hosts whose sitecustomize registers a TPU
+# plugin programmatically (the env var alone is overridden there); this is
+# what lets the test-suite run the CLI subprocess on the CPU mesh.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from .inidriver import run_ini
 from .models import LIKELIHOODS

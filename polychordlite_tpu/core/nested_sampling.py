@@ -212,13 +212,22 @@ def nested_sampling(
         _feedback(s, 1, f"num_repeats per grade: {list(num_repeats)}")
 
         # --- build the device epoch function -------------------------------
+        engine = s.engine
+        if engine == "auto":
+            # fused Mosaic kernel on TPU for traced likelihoods; the runner
+            # still falls back to scan if the model fails to lower
+            engine = (
+                "pallas"
+                if jax.default_backend() == "tpu" and not calc.uses_callback
+                else "scan"
+            )
         cfg = EpochConfig(
             n_dims=s.nDims,
             n_phi=max(s.nDerived, 1),
             grade_dims=tuple(s.grade_dims),
             num_repeats=num_repeats,
             logzero=s.logzero,
-            engine=s.engine,
+            engine=engine,
         )
         R = cfg.total_repeats
         from ..parallel.mesh import make_epoch_runner
@@ -226,8 +235,16 @@ def nested_sampling(
         run_epoch, B = make_epoch_runner(
             calc, cfg, s.resolved_batch_size(),
             single_device=calc.uses_callback,
+            n_devices=s.mesh_shape,
         )
-        _feedback(s, 1, f"chain batch {B} over {len(jax.devices())} device(s)")
+        n_dev = (
+            1 if calc.uses_callback
+            else (s.mesh_shape or len(jax.devices()))
+        )
+        _feedback(
+            s, 1,
+            f"chain batch {B} over {n_dev} device(s), engine {engine}",
+        )
 
         from ..parallel.distributed import is_root as _is_root
 
@@ -240,7 +257,12 @@ def nested_sampling(
         nlikesum = np.zeros(n_grades, dtype=np.int64)
         failures = 0
         nfail = s.resolved_nfail()
-        epoch_idx = 0
+        # Resumes continue the device RNG stream where the saved run left
+        # off (the reference restores and *continues* the generator state,
+        # read_write.F90:384-476): epoch_idx is part of the checkpoint, so
+        # post-resume epochs fold fresh indices into the epoch key instead
+        # of replaying the streams of epochs 0..k.
+        epoch_idx = int(getattr(rti, "epoch_idx", 0))
 
         _feedback(s, 1, "Started sampling")
 
@@ -261,6 +283,7 @@ def nested_sampling(
             chol = rti.cholesky[cluster_ids]
             epoch_key = jax.random.fold_in(key, 100_000 + epoch_idx)
             epoch_idx += 1
+            rti.epoch_idx = epoch_idx  # checkpointed: resume continues the stream
             handle = run_epoch.dispatch(epoch_key, seeds[:, s.h], bound, chol)
             return handle, bound, np.asarray(cluster_ids), rti.epoch
 
@@ -269,8 +292,12 @@ def nested_sampling(
             handle, bound, cluster_ids, epoch_at_dispatch = pending
             with metrics.device_epoch():
                 b_cube, b_theta, b_phi, b_logL, nlike = run_epoch.collect(handle)
-            # overlap: enqueue the next nursery before consuming this one
-            pending = _dispatch()
+            if not s.synchronous:
+                # async overlap (nested_sampling.F90:288-313): enqueue the
+                # next nursery before consuming this one — device compute
+                # hides behind host bookkeeping, babies up to 2 nurseries
+                # stale
+                pending = _dispatch()
             nlike = nlike.sum(axis=0)
             rti.nlike += nlike
             nlikesum += nlike
@@ -295,18 +322,26 @@ def nested_sampling(
                 ids = identify_clusters_batch(rti, babies[:, -1])
             chunk = max(8, min(64, s.nlive // 8))
             b0 = 0
+            ph_done = 0  # phantom-insertion high-water mark: a chunk that
+            # breaks early on a cluster reorganisation restarts at b0 = b,
+            # but its phantoms were already inserted up to the old b1 —
+            # re-inserting them would duplicate posterior samples and skew
+            # covmats (the reorganisation re-Voronois the already-inserted
+            # copies, so they survive).
             while (
                 b0 < B and running and failures <= nfail and rti.ncluster > 0
             ):
                 b1 = min(b0 + chunk, B)
                 epoch0 = rti.epoch
                 # phantom candidates of the chunk, one batched insert
-                if R > 1:
+                if R > 1 and b1 > ph_done:
+                    lo = max(b0, ph_done)
                     append_phantoms_batch(
                         rti,
-                        babies[b0:b1, :-1].reshape(-1, s.nTotal),
-                        np.repeat(ids[b0:b1], R - 1),
+                        babies[lo:b1, :-1].reshape(-1, s.nTotal),
+                        np.repeat(ids[lo:b1], R - 1),
                     )
+                    ph_done = b1
                 # live candidates: Voronoi membership precomputed per chunk
                 lpts = babies[b0:b1, -1]
                 assign = identify_clusters_batch(rti, lpts)
@@ -368,6 +403,12 @@ def nested_sampling(
                 if rti.epoch != epoch0 and rti.ncluster > 0 and b < B:
                     ids[b:] = identify_clusters_batch(rti, babies[b:, -1])
                 b0 = b
+
+            if s.synchronous and running and failures <= nfail and rti.ncluster > 0:
+                # synchronous mode (reference default, nested_sampling.F90:
+                # 262-287): seeds drawn from the state as updated by this
+                # nursery; exactly one nursery in flight
+                pending = _dispatch()
 
         if s.write_resume and is_root():
             resume_mod.write_resume_file(s, rti, rng, key)

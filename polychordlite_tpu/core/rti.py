@@ -172,6 +172,10 @@ class RunTimeInfo:
         # in-flight batched babies with stale cluster ids are discarded
         # (the MPI administrator_epoch, nested_sampling.F90:341,357,364)
         self.epoch = 0
+        # device-epoch dispatch counter: checkpointed so a resumed run folds
+        # fresh indices into the epoch PRNG key (continues the stream, as the
+        # reference resume restores the generator state, read_write.F90:384-476)
+        self.epoch_idx = 0
 
     # ------------------------------------------------------------------
     @property

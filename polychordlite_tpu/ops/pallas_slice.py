@@ -110,16 +110,20 @@ def _key_words(key):
     return kd[0], kd[-1]
 
 
-def build_epoch_fn_pallas(
-    calc_point_batch,
-    cfg,
-    axis_name: Optional[str] = None,
-    interpret: Optional[bool] = None,
-):
-    """Pallas engine with the ``build_epoch_fn`` contract (see slice_kernel).
+def _validated_tile_logL(calc_point_batch, cfg):
+    """Resolve the in-kernel likelihood for the Pallas engines.
 
-    ``calc_point_batch`` must carry a ``single_logL`` attribute (traced
-    likelihood path); the host-callback path cannot run inside a kernel.
+    The kernels prefer to evaluate the likelihood directly in (D, S, 128)
+    tile layout — zero data movement, reductions stay on the sublane axis
+    — which requires the prior/likelihood to follow the axis-0 tile
+    convention (models/examples.py).  Arbitrary traced likelihoods (the
+    reference's unconstrained ``loglikelihood(theta, phi)`` contract,
+    ``src/polychord/interfaces.F90:438-457``) are supported by a generic
+    adapter: transpose the probe tile to point-major (N, D) inside the
+    kernel and vmap the single-point evaluator over it.  Validate the
+    tile path numerically against the batched path — a likelihood written
+    with axis-less reductions would be silently wrong in tile layout, so
+    a mismatch selects the generic adapter instead.
     """
     tile_logL = getattr(calc_point_batch, "single_logL", None)
     if tile_logL is None:
@@ -128,26 +132,6 @@ def build_epoch_fn_pallas(
             "(host-callback models must use engine='scan')"
         )
     D = cfg.n_dims
-    R = cfg.total_repeats
-    n_grades = len(cfg.grade_dims)
-    logzero = float(cfg.logzero)
-    max_step = cfg.max_step
-    max_shrink = cfg.max_shrink
-    max_inner = 2 * max_step + max_shrink + 4
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-
-    # The kernel prefers to evaluate the likelihood directly in (D, S, 128)
-    # tile layout — zero data movement, reductions stay on the sublane axis
-    # — which requires the prior/likelihood to follow the axis-0 tile
-    # convention (models/examples.py).  Arbitrary traced likelihoods (the
-    # reference's unconstrained ``loglikelihood(theta, phi)`` contract,
-    # ``src/polychord/interfaces.F90:438-457``) are supported by a generic
-    # adapter: transpose the probe tile to point-major (N, D) inside the
-    # kernel and vmap the single-point evaluator over it.  Validate the
-    # tile path numerically against the batched path — a likelihood written
-    # with axis-less reductions would be silently wrong in tile layout, so
-    # a mismatch selects the generic adapter instead.
     _vk = jax.random.PRNGKey(20240131)
     _probe = jax.random.uniform(
         _vk, (SUBLANE * LANE, D), minval=-0.05, maxval=1.05
@@ -191,6 +175,32 @@ def build_epoch_fn_pallas(
                 "engine='pallas': likelihood evaluation disagreed with the "
                 "batched path — use engine='scan'"
             )
+    return tile_logL
+
+
+def build_epoch_fn_pallas(
+    calc_point_batch,
+    cfg,
+    axis_name: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """Lockstep (v2) Pallas engine with the ``build_epoch_fn`` contract (see
+    slice_kernel); the per-repeat-lockstep fallback behind the free-running
+    v3 engine (``pallas_slice_v3.py``).
+
+    ``calc_point_batch`` must carry a ``single_logL`` attribute (traced
+    likelihood path); the host-callback path cannot run inside a kernel.
+    """
+    tile_logL = _validated_tile_logL(calc_point_batch, cfg)
+    D = cfg.n_dims
+    R = cfg.total_repeats
+    n_grades = len(cfg.grade_dims)
+    logzero = float(cfg.logzero)
+    max_step = cfg.max_step
+    max_shrink = cfg.max_shrink
+    max_inner = 2 * max_step + max_shrink + 4
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
 
     def _kernel(scal_ref, x0_in_ref, bound_ref, valid_ref, nhat_ref, w_ref,
                 out_cube_ref, out_logL_ref, out_nlike_ref, x0_ref):

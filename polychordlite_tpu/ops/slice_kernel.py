@@ -126,6 +126,8 @@ def _mark_vma(state, axis_name):
     def _mark(v):
         if axis_name in getattr(jax.typeof(v), "vma", ()):
             return v
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(v, (axis_name,), to="varying")
         return jax.lax.pvary(v, (axis_name,))
 
     return jax.tree.map(_mark, state)
@@ -147,6 +149,16 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
     if cfg.engine == "ring":
         return build_epoch_fn_ring(calc_point_batch, cfg, axis_name)
     if cfg.engine == "pallas":
+        from .pallas_slice import build_epoch_fn_pallas
+        from .pallas_slice_v3 import build_epoch_fn_pallas_v3
+
+        try:
+            return build_epoch_fn_pallas_v3(calc_point_batch, cfg, axis_name)
+        except Exception:
+            # free-running kernel failed to build (e.g. an unexpected Mosaic
+            # lowering limit): the lockstep v2 kernel shares its semantics
+            return build_epoch_fn_pallas(calc_point_batch, cfg, axis_name)
+    if cfg.engine == "pallas2":  # forced lockstep kernel (benchmark A/B)
         from .pallas_slice import build_epoch_fn_pallas
 
         return build_epoch_fn_pallas(calc_point_batch, cfg, axis_name)

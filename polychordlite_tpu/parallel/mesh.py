@@ -8,6 +8,12 @@ ZERO collectives and each device drains its own lanes' while-loop without
 waiting on stragglers elsewhere.  Results are bitwise identical for any
 device count.
 
+The *logical* batch width B (the nursery the administrator sees) is rounded
+only to 8-lane granularity; engines with coarser tile requirements (the
+Pallas kernel needs whole (8, 128) f32 tiles) are fed a padded *physical*
+batch whose extra lanes carry ``valid = 0`` and are dropped before the
+nursery is returned — engine choice never changes the run's statistics.
+
 Epoch I/O crosses the host-device boundary as exactly one upload and one
 download per epoch (packed buffers) — on tunneled TPU backends each transfer
 pays a large fixed latency.
@@ -15,7 +21,7 @@ pays a large fixed latency.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,9 +33,7 @@ from ..ops.slice_kernel import (
     build_epoch_fn,
     build_epoch_fn_scan,
     epoch_overflowed,
-    pack_epoch_inputs,
     unpack_epoch,
-    unpack_epoch_inputs,
 )
 
 
@@ -39,21 +43,58 @@ def make_epoch_runner(
     batch_size: int,
     single_device: bool = False,
     devices=None,
+    n_devices: Optional[int] = None,
 ) -> Tuple[Callable, int]:
     """Build ``run(key, seeds, bound, chol) -> (cube, theta, phi, logL,
-    nlike)`` (numpy outputs) and the (possibly padded) chain-batch width B."""
+    nlike)`` (numpy outputs) and the logical chain-batch width B."""
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[: max(1, int(n_devices))]
     n_dev = 1 if single_device else len(devices)
     axis = None if n_dev == 1 else "chains"
-    # pallas engine: whole lanes of (8, 128) f32 tiles per device shard
-    granule = 8 * 128 if cfg.engine == "pallas" else 8
-    B = -(-batch_size // (granule * n_dev)) * (granule * n_dev)
+    # logical width: the nursery the administrator consumes
+    B = -(-batch_size // (8 * n_dev)) * (8 * n_dev)
+    # physical width: padded to the engine's tile granularity with invalid
+    # lanes (pallas engine: whole (8, 128) f32 tiles per device shard)
+    granule = 8 * 128 if cfg.engine.startswith("pallas") else 8
+    B_phys = -(-B // (granule * n_dev)) * (granule * n_dev)
+    rows_log = B // n_dev
+    rows_phys = B_phys // n_dev
+    D = cfg.n_dims
+    ncols = D + 1 + D * D + 1  # [cube(D), bound, cholesky(D*D), valid]
+
+    def pack_inputs(seed_cube, bound, chol):
+        """One upload buffer, per-device layout [valid rows..., pad rows...]:
+        per lane [cube(D), bound, cholesky.ravel(D*D), valid]."""
+        flat = np.concatenate(
+            [
+                seed_cube,
+                bound[:, None],
+                chol.reshape(B, D * D),
+                np.ones((B, 1), np.float32),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        if B_phys == B:
+            return flat
+        shards = flat.reshape(n_dev, rows_log, ncols)
+        pad = np.repeat(shards[:, :1], rows_phys - rows_log, axis=1).copy()
+        pad[:, :, -1] = 0.0  # invalid lanes: DONE at init, dropped on unpack
+        return np.concatenate([shards, pad], axis=1).reshape(n_dev * rows_phys, ncols)
+
+    def select_valid(packed_out):
+        if B_phys == B:
+            return packed_out
+        c = packed_out.shape[1]
+        return packed_out.reshape(n_dev, rows_phys, c)[:, :rows_log].reshape(B, c)
 
     def compile_engine(epoch_fn):
         def wrapped(key, packed_in):
-            seed_cube, bound, chol = unpack_epoch_inputs(packed_in, cfg.n_dims)
-            valid = jnp.ones((seed_cube.shape[0],), bool)
+            seed_cube = packed_in[:, :D]
+            bound = packed_in[:, D]
+            chol = packed_in[:, D + 1 : D + 1 + D * D].reshape(-1, D, D)
+            valid = packed_in[:, -1] > 0.5
             return epoch_fn(key, seed_cube, bound, chol, valid)
 
         if n_dev == 1:
@@ -116,7 +157,7 @@ def make_epoch_runner(
         dispatch) — the host consumes the previous nursery while the device
         computes, the reference's async administrator/worker overlap
         (nested_sampling.F90:288-313)."""
-        packed_in = pack_epoch_inputs(
+        packed_in = pack_inputs(
             np.asarray(seed_cube, dtype=np.float32),
             np.asarray(bound, dtype=np.float32),
             np.asarray(chol, dtype=np.float32),
@@ -146,7 +187,7 @@ def make_epoch_runner(
             # a pathological epoch exhausted the ring: re-run it with the
             # scan engine (bitwise-identical results, no slot budget)
             packed_out = fetch(scan_fallback()(key, to_device(packed_in)))
-        return unpack_epoch(packed_out, cfg)
+        return unpack_epoch(select_valid(packed_out), cfg)
 
     def run(key, seed_cube, bound, chol):
         return collect(dispatch(key, seed_cube, bound, chol))

@@ -51,6 +51,12 @@ class PolyChordSettings:
     write_prior: bool = True
     maximise: bool = False
     compression_factor: float = math.exp(-1.0)
+    #: True (reference default, nested_sampling.F90:262-287): one nursery in
+    #: flight — seeds are drawn from the *current* state and the device epoch
+    #: completes before consumption, so babies are at most one nursery stale.
+    #: False: dispatch-ahead async overlap (epoch k+1 enqueued before k is
+    #: consumed, the reference's async mode :288-313) — faster on tunneled
+    #: backends, babies up to two nurseries stale.
     synchronous: bool = True
     base_dir: str = "chains"
     file_root: str = "test"
@@ -59,6 +65,9 @@ class PolyChordSettings:
     grade_dims: Optional[List[int]] = None
     grade_frac: Optional[List[float]] = None
     nlives: Dict[float, int] = field(default_factory=dict)
+    #: accepted (and ini-parsed, ini.f90:83) for settings parity; the
+    #: reference allocates it in settings.f90:52 but no code consumes it —
+    #: it is dead upstream too, so it is deliberately unused here.
     seed_point: Optional[Sequence[float]] = None
     cube_samples: Optional[np.ndarray] = None
     sub_clustering_dimensions: Optional[List[int]] = None
@@ -68,12 +77,13 @@ class PolyChordSettings:
     #: reference's synchronous nprocs-1, nested_sampling.F90:262-287).
     #: <=0 -> auto (max(32, nlive//4) rounded up to a multiple of 8).
     batch_size: int = -1
-    #: devices to shard the chain batch over; None -> all local devices.
+    #: number of local devices to shard the chain batch over; None -> all.
     mesh_shape: Optional[int] = None
-    #: slice engine: "scan" (default, any likelihood), "ring", or "pallas"
-    #: (fused Mosaic kernel, fastest on TPU; traced likelihoods only —
-    #: falls back to scan automatically if the model cannot lower).
-    engine: str = "scan"
+    #: slice engine: "auto" (default — the fused Mosaic kernel on TPU for
+    #: traced likelihoods, scan otherwise), "scan" (any likelihood, any
+    #: backend), "ring", or "pallas" (forced; falls back to scan at build
+    #: time if the model cannot lower).
+    engine: str = "auto"
 
     def __init__(self, nDims: int = 1, nDerived: int = 0, **kwargs):
         # dataclass-style init but with the two positional dims first, the

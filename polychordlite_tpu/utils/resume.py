@@ -60,6 +60,7 @@ _STATE_FIELDS = [
     "num_repeats",
     "thin_posterior",
     "epoch",
+    "epoch_idx",
 ]
 
 
