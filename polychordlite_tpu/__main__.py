@@ -13,13 +13,15 @@ import argparse
 import os
 import sys
 
-# Honour JAX_PLATFORMS even on hosts whose sitecustomize registers a TPU
+# Honour JAX_PLATFORMS=cpu even on hosts whose sitecustomize registers a TPU
 # plugin programmatically (the env var alone is overridden there); this is
-# what lets the test-suite run the CLI subprocess on the CPU mesh.
-if os.environ.get("JAX_PLATFORMS"):
+# what lets the test-suite run the CLI subprocess on the CPU mesh.  Other
+# values are left to the plugin machinery (forcing them here would hide the
+# host CPU backend that callback-path likelihoods need).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_platforms", "cpu")
 
 from .inidriver import run_ini
 from .models import LIKELIHOODS

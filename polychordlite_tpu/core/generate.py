@@ -90,6 +90,10 @@ def assign_num_repeats(
     """Per-grade repeat counts (generate.F90:303-316): grade 1 gets
     ``num_repeats``; faster grades get counts scaled by grade_frac and the
     measured speed ratio.  Also sets the posterior thinning factor."""
+    from ..parallel.distributed import broadcast_from_root
+
+    # wall-clock timings differ per process; root's decide (MPI_BCAST analogue)
+    speeds = broadcast_from_root(np.asarray(speeds, dtype=float))
     gf = np.asarray(s.grade_frac, dtype=float)
     n_grades = len(s.grade_dims)
     num_repeats = np.empty(n_grades, dtype=int)

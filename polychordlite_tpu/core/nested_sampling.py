@@ -143,6 +143,11 @@ def nested_sampling(
 
     # --- RNG: one host generator + one device key, both from the seed ------
     seed = s.seed if s.seed >= 0 else int(time.time_ns() % (2**31))
+    if jax.process_count() > 1:
+        # every process must administer identically: adopt root's clock seed
+        from ..parallel.distributed import broadcast_from_root
+
+        seed = int(broadcast_from_root(np.int64(seed)))
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 

@@ -37,3 +37,18 @@ def initialise_distributed(
 def is_root() -> bool:
     """True on the process that owns file output (rank 0 in the reference)."""
     return jax.process_index() == 0
+
+
+def broadcast_from_root(arr):
+    """Adopt process 0's value on every process (reference: MPI_BCAST of
+    root-decided quantities — the RNG seed, ``random_utils.F90:26-109``, and
+    the timed per-grade speeds, ``generate.F90:303-309``).  Wall-clock-derived
+    values differ per process; redundant-deterministic administration
+    requires every process to use root's."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils as mhu
+
+    return np.asarray(mhu.broadcast_one_to_all(np.asarray(arr)))

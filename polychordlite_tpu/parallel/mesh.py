@@ -83,19 +83,17 @@ def make_epoch_runner(
         pad[:, :, -1] = 0.0  # invalid lanes: DONE at init, dropped on unpack
         return np.concatenate([shards, pad], axis=1).reshape(n_dev * rows_phys, ncols)
 
-    def select_valid(packed_out):
-        if B_phys == B:
-            return packed_out
-        c = packed_out.shape[1]
-        return packed_out.reshape(n_dev, rows_phys, c)[:, :rows_log].reshape(B, c)
-
     def compile_engine(epoch_fn):
         def wrapped(key, packed_in):
             seed_cube = packed_in[:, :D]
             bound = packed_in[:, D]
             chol = packed_in[:, D + 1 : D + 1 + D * D].reshape(-1, D, D)
             valid = packed_in[:, -1] > 0.5
-            return epoch_fn(key, seed_cube, bound, chol, valid)
+            out = epoch_fn(key, seed_cube, bound, chol, valid)
+            # drop the engine's padding lanes ON DEVICE: the host fetch (the
+            # expensive hop on tunneled backends) moves only the logical
+            # nursery.  Inside shard_map this slices each shard's local rows.
+            return out[:rows_log]
 
         if n_dev == 1:
             return jax.jit(wrapped)
@@ -187,7 +185,7 @@ def make_epoch_runner(
             # a pathological epoch exhausted the ring: re-run it with the
             # scan engine (bitwise-identical results, no slot budget)
             packed_out = fetch(scan_fallback()(key, to_device(packed_in)))
-        return unpack_epoch(select_valid(packed_out), cfg)
+        return unpack_epoch(packed_out, cfg)
 
     def run(key, seed_cube, bound, chol):
         return collect(dispatch(key, seed_cube, bound, chol))

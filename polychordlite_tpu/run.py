@@ -130,7 +130,24 @@ def run(loglikelihood, nDims: int, **kwargs):
         )
 
     Path(settings.cluster_dir_path).mkdir(parents=True, exist_ok=True)
-    nested_sampling(loglikelihood, prior, dumper, settings)
+    result = nested_sampling(loglikelihood, prior, dumper, settings)
+
+    from .parallel.distributed import is_root
+
+    if not is_root() or not settings.write_stats:
+        # non-root processes do not own the file products (and need not
+        # share a filesystem with root); with write_stats off there is no
+        # .stats to parse either way: return the in-memory administrator
+        # result — identical on every process by redundant-deterministic
+        # administration (SURVEY §5.8)
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
+            logZ=result["logZ"],
+            logZerr=result["logZerr"],
+            ndead=result["ndead"],
+            nlike=result["nlike"],
+        )
 
     try:
         import anesthetic

@@ -87,7 +87,7 @@ class TestSpeedGrades:
             posteriors=False,
         )
         analytic = -4 * math.log(2)
-        assert abs(out.logZ - analytic) < 4 * out.logZerr + 0.3
+        assert abs(out.logZ - analytic) < 2 * out.logZerr + 0.15
         # both grades must have recorded likelihood calls, slow fewer than
         # fast (2 vs 6 repeats)
         stats = open(str(tmp_path / "test.stats")).read()
