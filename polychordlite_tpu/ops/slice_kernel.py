@@ -151,17 +151,27 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
     if cfg.engine == "pallas":
         from .pallas_slice import build_epoch_fn_pallas
         from .pallas_slice_v3 import build_epoch_fn_pallas_v3
+        from .pallas_slice_v4 import build_epoch_fn_pallas_v4
 
         try:
+            return build_epoch_fn_pallas_v4(calc_point_batch, cfg, axis_name)
+        except Exception:
+            pass
+        try:
+            # sliding-window kernel failed to build (e.g. an unexpected
+            # Mosaic lowering limit): the v3 free-running kernel is bitwise
+            # identical, just slower
             return build_epoch_fn_pallas_v3(calc_point_batch, cfg, axis_name)
         except Exception:
-            # free-running kernel failed to build (e.g. an unexpected Mosaic
-            # lowering limit): the lockstep v2 kernel shares its semantics
             return build_epoch_fn_pallas(calc_point_batch, cfg, axis_name)
     if cfg.engine == "pallas2":  # forced lockstep kernel (benchmark A/B)
         from .pallas_slice import build_epoch_fn_pallas
 
         return build_epoch_fn_pallas(calc_point_batch, cfg, axis_name)
+    if cfg.engine == "pallas3":  # forced v3 free-running kernel (A/B)
+        from .pallas_slice_v3 import build_epoch_fn_pallas_v3
+
+        return build_epoch_fn_pallas_v3(calc_point_batch, cfg, axis_name)
     return build_epoch_fn_scan(calc_point_batch, cfg, axis_name)
 
 
