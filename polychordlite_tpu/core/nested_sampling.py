@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.evaluate import make_batched_calculator
-from ..ops.logspace import logsumexp
+from ..ops.logspace import logsumexp, logsumexp_small
 from ..ops.slice_kernel import EpochConfig, build_epoch_fn
 from ..settings import PolyChordSettings
 from ..utils import io as io_mod
@@ -176,7 +176,24 @@ def nested_sampling(
         if is_root():
             io_mod.write_properties_file(s)  # anesthetic compat marker
         resumed = False
-        if s.read_resume and resume_mod.resume_file_exists(s):
+        want_resume = s.read_resume and resume_mod.resume_file_exists(s)
+        if jax.process_count() > 1:
+            # resume files are written by process 0 only: every process must
+            # follow ROOT's resume decision or the redundantly-deterministic
+            # administrations desynchronise and the SPMD epoch dispatch hangs
+            # (reference: rank 0 reads, state is implicitly shared because
+            # every rank re-runs the same deterministic stream)
+            from ..parallel.distributed import broadcast_from_root
+
+            root_resume = bool(int(broadcast_from_root(np.int32(want_resume))))
+            if root_resume and not want_resume:
+                raise RuntimeError(
+                    "process 0 found a resume file but this process did not: "
+                    "multi-host runs need base_dir on a filesystem shared by "
+                    "all processes (or read_resume=False)"
+                )
+            want_resume = root_resume
+        if want_resume:
             rti, rng_state, key_saved = resume_mod.read_resume_file(s, n_grades)
             if rng_state is not None:  # legacy-text resumes carry no RNG state
                 rng.bit_generator.state = rng_state
@@ -347,7 +364,15 @@ def nested_sampling(
                         np.repeat(ids[lo:b1], R - 1),
                     )
                     ph_done = b1
-                # live candidates: Voronoi membership precomputed per chunk
+                # live candidates: Voronoi membership batched per sub-block.
+                # The reference evaluates identify_cluster at insertion time
+                # against the CURRENT live set (run_time_info.f90:744-753);
+                # here membership is recomputed every VORONOI_SUB
+                # replacements, so a baby's cell is stale by at most
+                # VORONOI_SUB deletions (<= ~3% of nlive) instead of a full
+                # chunk (~64).  Affects cluster assignment only, never the
+                # global evidence.
+                VORONOI_SUB = 16
                 lpts = babies[b0:b1, -1]
                 assign = identify_clusters_batch(rti, lpts)
                 b = b0
@@ -355,6 +380,8 @@ def nested_sampling(
                     if rti.epoch != epoch0:
                         break  # reorganisation: re-validate remaining babies
                     i = b - b0
+                    if i and i % VORONOI_SUB == 0:
+                        assign[i:] = identify_clusters_batch(rti, lpts[i:])
                     res = try_replace_live(
                         rti, lpts[i], int(ids[b]), bool(assign[i] == ids[b])
                     )
@@ -366,11 +393,13 @@ def nested_sampling(
                         if failures > nfail:
                             break
 
-                    update = logsumexp(
-                        np, rti.logXp
-                    ) <= rti.logX_last_update + math.log(s.compression_factor)
+                    lse_logXp = logsumexp_small(rti.logXp)
+                    update = (
+                        lse_logXp
+                        <= rti.logX_last_update + math.log(s.compression_factor)
+                    )
                     if update:
-                        rti.logX_last_update = float(logsumexp(np, rti.logXp))
+                        rti.logX_last_update = lse_logXp
                         update_posteriors(rti)
                         _write_products(s, rti, nlikesum, rng, key)
                         _dump(dumper, s, rti)

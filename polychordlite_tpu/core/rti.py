@@ -26,7 +26,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..ops.linalg import calc_cholesky_np, calc_covmat_np
-from ..ops.logspace import logaddexp, logincexp, logsumexp
+from ..ops.logspace import logaddexp, logincexp, logsumexp, logsumexp_small
 from ..settings import PolyChordSettings
 
 HUGE = np.finfo(np.float64).max
@@ -436,7 +436,7 @@ def delete_outermost_point(rti: RunTimeInfo) -> None:
     rti.logweights.append(logweight)
 
     pp = _posterior_point(
-        s, deleted, logweight, rti.logZ, logsumexp(np, rti.logXp)
+        s, deleted, logweight, rti.logZ, logsumexp_small(rti.logXp)
     )
     rti.posterior_stack[p].append(pp)
     w = pp[s.pos_w] + pp[s.pos_l]
