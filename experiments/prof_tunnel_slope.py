@@ -26,13 +26,23 @@ def main():
     calc = make_batched_calculator(lambda c: c, like, D, n_derived=2)
 
     key = jax.random.PRNGKey(0)
-    seeds = 0.5 + 0.1 * jax.random.normal(key, (B, D))
     r0 = 0.1 * math.sqrt(D) * 1.5
     bound = -0.5 * (r0 / 0.1) ** 2 - D * (math.log(0.1) + 0.5 * math.log(2 * math.pi))
-    bounds = jnp.full((B,), bound, jnp.float32)
-    chol = jnp.broadcast_to(0.1 * jnp.eye(D, dtype=jnp.float32), (B, D, D))
-    valid = jnp.ones((B,), bool)
-    args = jax.block_until_ready(jax.device_put((seeds, bounds, chol, valid)))
+
+    # build every input ON DEVICE (a multi-MB host upload can wedge the
+    # tunnel; only the key crosses the wire)
+    @jax.jit
+    def make_args(k):
+        sr = 0.1 * jax.random.normal(k, (B, D))
+        # clamp inside the contour: production seeds are live points
+        rr = jnp.sqrt((sr**2).sum(axis=1, keepdims=True))
+        seeds = 0.5 + sr * jnp.minimum(1.0, 0.9 * r0 / rr)
+        bounds = jnp.full((B,), bound, jnp.float32)
+        chol = jnp.broadcast_to(0.1 * jnp.eye(D, dtype=jnp.float32), (B, D, D))
+        valid = jnp.ones((B,), bool)
+        return seeds, bounds, chol, valid
+
+    args = jax.block_until_ready(make_args(key))
 
     import sys as _sys
     engines = _sys.argv[1:] or ["pallas", "scan"]

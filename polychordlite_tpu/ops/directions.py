@@ -28,33 +28,48 @@ import jax
 import jax.numpy as jnp
 
 
-def _gram_schmidt(gauss: jnp.ndarray) -> jnp.ndarray:
+def _gram_schmidt(gauss: jnp.ndarray, block: int = 5) -> jnp.ndarray:
     """Batched Gram-Schmidt orthonormalisation of the columns of
-    ``gauss`` (..., dim, dim) with one reorthogonalisation pass (CGS2).
+    ``gauss`` (..., dim, dim) with one reorthogonalisation pass (CGS2),
+    blocked over columns.
 
     This is the same construction as the reference's
     ``random_orthonormal_basis`` (``random_utils.F90:381-403``) — Gram-Schmidt
     of a Gaussian matrix, which yields a Haar-distributed orthonormal basis
     (the residual projection keeps q_k · a_k > 0, i.e. the QR sign convention
-    holds automatically).  Column-at-a-time batched matvecs map far better
-    onto the TPU than vmapped small Householder QR (~9x measured), and the
-    second pass restores orthogonality to f32 roundoff.
+    holds automatically; in exact arithmetic the blocked order computes the
+    identical unique positive-diagonal-R factor).  Blocking matters on TPU:
+    the round-1 column-at-a-time ``fori_loop`` re-read the full Q buffer on
+    every one of 2*dim steps (~2.6 GB of HBM traffic at the bench geometry,
+    ~6 ms/epoch measured, experiments/prof_dirs_parts.py); projecting each
+    column block against all previous blocks with two large batched matmuls
+    cuts the traffic ~4x and lets the MXU do the work.  Batched
+    ``jnp.linalg.cholesky``/``qr`` are non-starters on TPU (198 ms measured
+    for CholeskyQR2 at the same shape).
     """
     dim = gauss.shape[-1]
+    cols = []  # finished orthonormal column blocks, (..., dim, block) each
 
-    def one_column(k, q):
-        v = jax.lax.dynamic_slice_in_dim(gauss, k, 1, axis=-1)  # (..., dim, 1)
-        # Two projection sweeps against the already-filled columns (columns
-        # >= k of q are still zero, so they project to nothing).
-        for _ in range(2):
-            coeff = jnp.einsum("...dk,...dj->...kj", q, v)
-            v = v - jnp.einsum("...dk,...kj->...dj", q, coeff)
-        norm = jnp.sqrt(jnp.sum(v * v, axis=-2, keepdims=True))
-        v = v / jnp.maximum(norm, 1e-30)
-        return jax.lax.dynamic_update_slice_in_dim(q, v, k, axis=-1)
-
-    q0 = jnp.zeros_like(gauss)
-    return jax.lax.fori_loop(0, dim, one_column, q0)
+    for b0 in range(0, dim, block):
+        v = gauss[..., :, b0 : b0 + block]
+        if cols:
+            q = jnp.concatenate(cols, axis=-1)  # (..., dim, b0)
+            for _ in range(2):  # two sweeps: block CGS2
+                coeff = jnp.einsum("...dk,...dj->...kj", q, v)
+                v = v - jnp.einsum("...dk,...kj->...dj", q, coeff)
+        # in-block CGS2, unrolled over <= block columns (static slices)
+        done = []
+        for k in range(v.shape[-1]):
+            c = v[..., :, k : k + 1]
+            if done:
+                qb = jnp.concatenate(done, axis=-1)
+                for _ in range(2):
+                    coeff = jnp.einsum("...dk,...dj->...kj", qb, c)
+                    c = c - jnp.einsum("...dk,...kj->...dj", qb, coeff)
+            norm = jnp.sqrt(jnp.sum(c * c, axis=-2, keepdims=True))
+            done.append(c / jnp.maximum(norm, 1e-30))
+        cols.append(jnp.concatenate(done, axis=-1))
+    return jnp.concatenate(cols, axis=-1)
 
 
 def _haar_bases(key, dim: int, count: int) -> jnp.ndarray:
@@ -83,7 +98,7 @@ def make_directions(
     """
     R = int(sum(num_repeats))
 
-    def per_chain(chain_key, L):
+    def per_chain(chain_key):
         blocks = []
         speed_blocks = []
         keys = jax.random.split(chain_key, len(num_repeats) + 1)
@@ -101,17 +116,36 @@ def make_directions(
         # (chordal_sampling.f90:132-139).
         if R > 1:
             perm_tail = jax.random.permutation(keys[-1], R - 1) + 1
-            perm = jnp.concatenate([jnp.zeros((1,), dtype=perm_tail.dtype), perm_tail])
-            nhats = nhats[perm]
-            speeds = speeds[perm]
+            perm = jnp.concatenate(
+                [jnp.zeros((1,), dtype=perm_tail.dtype), perm_tail]
+            )
+        else:
+            perm = jnp.zeros((1,), jnp.int32)
+        return nhats, speeds, perm
 
-        # Whiten: chord direction in cube space is L @ n̂; initial width is
-        # 3x its length (chordal_sampling.f90:73-82).
-        whitened = nhats @ L.T  # (R, D) rows = L @ nhat
-        norms = jnp.sqrt(jnp.sum(whitened * whitened, axis=1))
-        safe = jnp.maximum(norms, 1e-300)
-        unit = whitened / safe[:, None]
-        w = 3.0 * norms
-        return unit, w, speeds
+    nhats, speeds, perm = jax.vmap(per_chain)(chain_keys)
 
-    return jax.vmap(per_chain)(chain_keys, cholesky)
+    if R > 1:
+        # Apply the per-chain row permutation as a 0/1 matmul on the MXU:
+        # a (B, R, D) row gather costs ~7 ms/epoch at the bench geometry
+        # (scalar-core bound, experiments/prof_dirs_parts.py), the one-hot
+        # contraction well under 1 ms — and x*1 + 0 sums are bitwise exact,
+        # so the result is identical to the gather.
+        onehot = (
+            perm[:, :, None] == jnp.arange(R, dtype=perm.dtype)[None, None, :]
+        ).astype(nhats.dtype)  # (B, R_dst, R_src)
+        nhats = jnp.einsum("brq,bqd->brd", onehot, nhats)
+        speeds = (
+            (onehot * speeds[:, None, :].astype(nhats.dtype))
+            .sum(axis=2)
+            .astype(jnp.int32)
+        )
+
+    # Whiten: chord direction in cube space is L @ n̂; initial width is
+    # 3x its length (chordal_sampling.f90:73-82).
+    whitened = jnp.einsum("brd,bed->bre", nhats, cholesky)  # rows = L @ nhat
+    norms = jnp.sqrt(jnp.sum(whitened * whitened, axis=2))
+    safe = jnp.maximum(norms, 1e-300)
+    unit = whitened / safe[:, :, None]
+    w = 3.0 * norms
+    return unit, w, speeds
