@@ -7,6 +7,11 @@ PYTHON ?= python
 test:
 	$(PYTHON) -m pytest tests/ -q
 
+.PHONY: test-fast
+test-fast:  ## the <5 min lane: skips the multi-minute end-to-end runs
+	$(PYTHON) -m pytest tests/ -q -m "not slow"
+
+
 bench:
 	$(PYTHON) bench.py
 

@@ -34,6 +34,13 @@ def _normalise_like_output(out, n_derived: int):
     if isinstance(out, tuple):
         logL, phi = out
         phi = jnp.atleast_1d(jnp.asarray(phi, dtype=jnp.float32))
+        if phi.shape[0] == 0:
+            # `return logL, []` with nDerived=0: the internal phi slot is
+            # padded to width 1 for TPU layout — an empty return must not
+            # fail the reshape below, or the traceability probe would
+            # silently demote the model to the ~50x slower host-callback
+            # path (found via benchmarks/run_matrix.py quickstart)
+            phi = jnp.zeros((n_derived,), dtype=jnp.float32)
     else:
         logL = out
         phi = jnp.zeros((n_derived,), dtype=jnp.float32)

@@ -16,9 +16,10 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-pytestmark = pytest.mark.skipif(
-    shutil.which("gcc") is None, reason="no C toolchain"
-)
+pytestmark = [
+    pytest.mark.skipif(shutil.which("gcc") is None, reason="no C toolchain"),
+    pytest.mark.slow,  # multi-minute e2e lane (make test-fast skips)
+]
 
 DRIVER = r"""
 #include <math.h>

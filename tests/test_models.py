@@ -94,3 +94,19 @@ def test_reference_data_files_load():
     assert sigma > 0
     like = get_likelihood("object_detection", 4, data_dir=ref)
     assert np.isfinite(float(like(jnp.array([0.5, 0.5, 0.5, 0.1]))))
+
+
+def test_empty_derived_list_stays_traced():
+    """`return logL, []` with nDerived=0 must take the traced path: the
+    internal phi slot is padded to width 1, and an empty derived return
+    used to fail the reshape inside the traceability probe, silently
+    demoting the model to the ~50x slower host-callback path."""
+    import jax.numpy as jnp
+
+    from polychordlite_tpu.ops.evaluate import make_batched_calculator
+
+    def lik(theta):
+        return -jnp.sum(theta**2), []
+
+    calc = make_batched_calculator(lambda c: c, lik, 3, n_derived=0)
+    assert not calc.uses_callback

@@ -53,6 +53,7 @@ def run_epoch(calc, engine, B=1024, R=4, seed=0, n_invalid=0):
     return unpack_epoch(packed, cfg), np.asarray(seeds), float(bound[0]), cfg
 
 
+@pytest.mark.slow  # interpret-mode kernel sweeps, ~90 s total
 class TestPallasEpoch:
     def test_babies_inside_contour(self, calc):
         (cube, theta, phi, logL, nlike), seeds, bound, cfg = run_epoch(

@@ -29,6 +29,7 @@ def _setup(n_dims=4, num_repeats=(6,), grade_dims=None):
     return calc, cfg
 
 
+@pytest.mark.slow  # multi-device bitwise sweeps, ~25 s
 class TestShardInvariance:
     def test_multi_device_matches_single(self):
         assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
