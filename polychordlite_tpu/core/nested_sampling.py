@@ -72,6 +72,24 @@ def default_dumper(live, dead, logweights, logZ, logZerr):
     pass
 
 
+def resolve_engine(engine: str, uses_callback: bool) -> str:
+    """Resolve ``engine="auto"`` to the concrete engine.
+
+    One hot-path story (the reference has exactly one,
+    nested_sampling.F90:259): on TPU with a traced likelihood every entry
+    point — ``run()``, the ini CLI, the C API — gets the fused Mosaic
+    kernel; the runner still falls back to scan if the model fails to
+    lower.  Host-callback likelihoods and CPU runs use the scan engine.
+    """
+    if engine != "auto":
+        return engine
+    return (
+        "pallas"
+        if jax.default_backend() == "tpu" and not uses_callback
+        else "scan"
+    )
+
+
 def more_samples_needed(s: PolyChordSettings, rti: RunTimeInfo) -> bool:
     """Termination rule (nested_sampling.F90:514-543)."""
     if s.max_ndead == 0:
@@ -182,17 +200,20 @@ def nested_sampling(
             # follow ROOT's resume decision or the redundantly-deterministic
             # administrations desynchronise and the SPMD epoch dispatch hangs
             # (reference: rank 0 reads, state is implicitly shared because
-            # every rank re-runs the same deterministic stream)
-            from ..parallel.distributed import broadcast_from_root
+            # every rank re-runs the same deterministic stream).  The
+            # agreement is allgathered so EVERY process (including the ones
+            # that do see the file) raises the same error — raising on a
+            # subset turns a config error into a distributed deadlock.
+            from ..parallel.distributed import all_any_flags
 
-            root_resume = bool(int(broadcast_from_root(np.int32(want_resume))))
-            if root_resume and not want_resume:
+            all_resume, any_resume = all_any_flags(want_resume)
+            if any_resume and not all_resume:
                 raise RuntimeError(
-                    "process 0 found a resume file but this process did not: "
-                    "multi-host runs need base_dir on a filesystem shared by "
-                    "all processes (or read_resume=False)"
+                    "the resume file is visible on some processes but not "
+                    "all: multi-host runs need base_dir on a filesystem "
+                    "shared by all processes (or read_resume=False)"
                 )
-            want_resume = root_resume
+            want_resume = all_resume
         if want_resume:
             rti, rng_state, key_saved = resume_mod.read_resume_file(s, n_grades)
             if rng_state is not None:  # legacy-text resumes carry no RNG state
@@ -234,15 +255,7 @@ def nested_sampling(
         _feedback(s, 1, f"num_repeats per grade: {list(num_repeats)}")
 
         # --- build the device epoch function -------------------------------
-        engine = s.engine
-        if engine == "auto":
-            # fused Mosaic kernel on TPU for traced likelihoods; the runner
-            # still falls back to scan if the model fails to lower
-            engine = (
-                "pallas"
-                if jax.default_backend() == "tpu" and not calc.uses_callback
-                else "scan"
-            )
+        engine = resolve_engine(s.engine, calc.uses_callback)
         cfg = EpochConfig(
             n_dims=s.nDims,
             n_phi=max(s.nDerived, 1),

@@ -129,12 +129,17 @@ def make_directions(
         # Apply the per-chain row permutation as a 0/1 matmul on the MXU:
         # a (B, R, D) row gather costs ~7 ms/epoch at the bench geometry
         # (scalar-core bound, experiments/prof_dirs_parts.py), the one-hot
-        # contraction well under 1 ms — and x*1 + 0 sums are bitwise exact,
-        # so the result is identical to the gather.
+        # contraction well under 1 ms.  Precision.HIGHEST is required for the
+        # x*1 + 0 sums to be bitwise identical to the gather: at default
+        # precision the TPU MXU truncates operands to bfloat16, which would
+        # silently round direction components before whitening.  The one-hot
+        # contraction is tiny, so HIGHEST costs nothing measurable.
         onehot = (
             perm[:, :, None] == jnp.arange(R, dtype=perm.dtype)[None, None, :]
         ).astype(nhats.dtype)  # (B, R_dst, R_src)
-        nhats = jnp.einsum("brq,bqd->brd", onehot, nhats)
+        nhats = jnp.einsum(
+            "brq,bqd->brd", onehot, nhats, precision=jax.lax.Precision.HIGHEST
+        )
         speeds = (
             (onehot * speeds[:, None, :].astype(nhats.dtype))
             .sum(axis=2)
@@ -143,7 +148,9 @@ def make_directions(
 
     # Whiten: chord direction in cube space is L @ n̂; initial width is
     # 3x its length (chordal_sampling.f90:73-82).
-    whitened = jnp.einsum("brd,bed->bre", nhats, cholesky)  # rows = L @ nhat
+    whitened = jnp.einsum(
+        "brd,bed->bre", nhats, cholesky, precision=jax.lax.Precision.HIGHEST
+    )  # rows = L @ nhat; HIGHEST: default TPU matmul truncates to bf16
     norms = jnp.sqrt(jnp.sum(whitened * whitened, axis=2))
     safe = jnp.maximum(norms, 1e-300)
     unit = whitened / safe[:, :, None]

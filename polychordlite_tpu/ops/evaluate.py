@@ -28,7 +28,12 @@ import numpy as np
 from .logspace import LOG_ZERO
 
 
-def _normalise_like_output(out, n_derived: int):
+class DerivedMismatchError(ValueError):
+    """The likelihood's derived-parameter return does not match the declared
+    ``nDerived`` — raised loudly rather than silently writing zero columns."""
+
+
+def _normalise_like_output(out, n_phi: int, n_derived_decl: int = 0):
     """Accept the reference's tuple-or-scalar likelihood return convention
     (``pypolychord/polychord.py:581-587``)."""
     if isinstance(out, tuple):
@@ -39,12 +44,19 @@ def _normalise_like_output(out, n_derived: int):
             # padded to width 1 for TPU layout — an empty return must not
             # fail the reshape below, or the traceability probe would
             # silently demote the model to the ~50x slower host-callback
-            # path (found via benchmarks/run_matrix.py quickstart)
-            phi = jnp.zeros((n_derived,), dtype=jnp.float32)
+            # path (found via benchmarks/run_matrix.py quickstart).  With
+            # nDerived > 0 declared, an empty return is a model bug: error
+            # loudly instead of writing all-zero derived columns.
+            if n_derived_decl > 0:
+                raise DerivedMismatchError(
+                    f"likelihood returned no derived parameters but "
+                    f"nDerived={n_derived_decl} was declared"
+                )
+            phi = jnp.zeros((n_phi,), dtype=jnp.float32)
     else:
         logL = out
-        phi = jnp.zeros((n_derived,), dtype=jnp.float32)
-    return jnp.asarray(logL, dtype=jnp.float32), phi.reshape((n_derived,))
+        phi = jnp.zeros((n_phi,), dtype=jnp.float32)
+    return jnp.asarray(logL, dtype=jnp.float32), phi.reshape((n_phi,))
 
 
 def is_traceable(fn: Callable, example_shape) -> bool:
@@ -73,11 +85,22 @@ def make_batched_calculator(
     if not use_callback:
 
         def _probe(theta):
-            return _normalise_like_output(loglike_fn(theta), n_phi)
+            return _normalise_like_output(loglike_fn(theta), n_phi, n_derived)
 
-        use_callback = not (
-            is_traceable(prior_fn, (n_dims,)) and is_traceable(_probe, (n_dims,))
-        )
+        def _like_traceable():
+            # a DerivedMismatchError is a model bug, not a reason to demote
+            # to the host-callback path (which would mask it with zeros)
+            try:
+                jax.eval_shape(
+                    _probe, jax.ShapeDtypeStruct((n_dims,), jnp.float32)
+                )
+                return True
+            except DerivedMismatchError:
+                raise
+            except Exception:
+                return False
+
+        use_callback = not (is_traceable(prior_fn, (n_dims,)) and _like_traceable())
 
     single_logL = None
     point_logL = None
@@ -85,7 +108,7 @@ def make_batched_calculator(
 
         def _single(cube):
             theta = jnp.asarray(prior_fn(cube), dtype=jnp.float32)
-            logL, phi = _normalise_like_output(loglike_fn(theta), n_phi)
+            logL, phi = _normalise_like_output(loglike_fn(theta), n_phi, n_derived)
             return theta, phi, logL
 
         def point_logL(cube):
@@ -140,6 +163,11 @@ def make_batched_calculator(
                 if isinstance(out, tuple):
                     logL, phi = out
                     phi = np.atleast_1d(np.asarray(phi, dtype=np.float64))
+                    if len(phi) == 0 and n_derived > 0:
+                        raise DerivedMismatchError(
+                            f"likelihood returned no derived parameters "
+                            f"but nDerived={n_derived} was declared"
+                        )
                 else:
                     logL, phi = out, np.zeros((n_phi,))
                 thetas[i] = theta

@@ -75,19 +75,32 @@ RES_OUT_MAX = 5 * 2**20 // 2  # resident-output block cap (x2 buffered)
 
 
 def _pick_sc(S: int, D: int, R: int) -> int:
-    """Largest chunk height (sublane rows) within the VMEM budget."""
+    """Largest chunk height (sublane rows) within the VMEM budget.
+
+    The output accounting must mirror ``epoch()``'s layout choice exactly:
+    outputs are resident (a double-buffered ``(R, 3, SC, LANE)`` VMEM block)
+    iff ``R*3*row <= RES_OUT_MAX``, else a W-slot scratch ring (single
+    buffered) with the full array in HBM.  Budgeting ``min()`` of the two
+    regardless of which one ``epoch()`` picks can undercount by several MB
+    and push the Mosaic compile over VMEM, silently demoting the run to the
+    scan engine.
+    """
     for sc in (64, 32, 16, 8):
         if S % sc:
             continue
         row = sc * LANE * 4
-        res_out = R * 3 * row
+        res_out_bytes = R * 3 * row
+        if res_out_bytes <= RES_OUT_MAX:  # epoch() picks the resident block
+            out_bytes = 2 * res_out_bytes  # double-buffered pipeline block
+        else:  # epoch() picks the W-slot ring (scratch: single-buffered)
+            out_bytes = W * 3 * row
         bytes_ = (
             W * (D + 1) * row          # direction ring
             + 2 * D * row              # x0 + cur_nhat scratch
             + 16 * row                 # per-lane state refs
             + 2 * D * row              # x0_in (double-buffered)
             + 8 * row                  # bound/valid (double-buffered)
-            + min(2 * res_out, W * 3 * row)  # outputs: resident or ring
+            + out_bytes
         )
         if bytes_ <= VMEM_BUDGET:
             return sc

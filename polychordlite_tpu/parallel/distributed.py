@@ -52,3 +52,20 @@ def broadcast_from_root(arr):
     from jax.experimental import multihost_utils as mhu
 
     return np.asarray(mhu.broadcast_one_to_all(np.asarray(arr)))
+
+
+def all_any_flags(flag: bool):
+    """(all_true, any_true) of a per-process boolean, agreed by every
+    process.  Used to turn per-process configuration mismatches (e.g. a
+    resume file visible on some hosts only) into the SAME error on every
+    process instead of a deadlock in the next collective."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return bool(flag), bool(flag)
+    from jax.experimental import multihost_utils as mhu
+
+    flags = np.asarray(
+        mhu.process_allgather(np.asarray(int(bool(flag)), np.int32))
+    )
+    return bool(flags.min()), bool(flags.max())

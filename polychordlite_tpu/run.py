@@ -95,7 +95,7 @@ def run(loglikelihood, nDims: int, **kwargs):
         "sub_clustering_dimensions": None,
         "batch_size": -1,
         "mesh_shape": None,
-        "engine": "scan",
+        "engine": "auto",
     }
     default_kwargs["grade_frac"] = [1.0] * len(
         kwargs.get("grade_dims", default_kwargs["grade_dims"])

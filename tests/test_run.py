@@ -306,3 +306,37 @@ def test_fancy_feedback_prints_cluster_table(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "cluster |" in out and "log(Z_p)" in out
     assert "logX_p" in out
+
+
+class TestEngineDefault:
+    """The public API must hand users the fast engine: run() defaults to
+    engine="auto", which resolves to the Pallas kernel on TPU with a traced
+    likelihood (one hot-path story, reference nested_sampling.F90:259)."""
+
+    def test_run_default_engine_is_auto(self):
+        import importlib
+        import inspect
+
+        run_mod = importlib.import_module("polychordlite_tpu.run")
+        src = inspect.getsource(run_mod.run)
+        assert '"engine": "auto"' in src
+
+    def test_resolve_engine_tpu_traced_is_pallas(self, monkeypatch):
+        import jax
+
+        from polychordlite_tpu.core.nested_sampling import resolve_engine
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert resolve_engine("auto", uses_callback=False) == "pallas"
+        assert resolve_engine("auto", uses_callback=True) == "scan"
+        assert resolve_engine("scan", uses_callback=False) == "scan"
+
+    def test_resolve_engine_cpu_is_scan(self):
+        from polychordlite_tpu.core.nested_sampling import resolve_engine
+
+        assert resolve_engine("auto", uses_callback=False) == "scan"
+
+    def test_settings_default_engine_auto(self):
+        from polychordlite_tpu.settings import PolyChordSettings
+
+        assert PolyChordSettings(4, 0).engine == "auto"
