@@ -152,15 +152,19 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
         from .pallas_slice import build_epoch_fn_pallas
         from .pallas_slice_v3 import build_epoch_fn_pallas_v3
         from .pallas_slice_v4 import build_epoch_fn_pallas_v4
+        from .pallas_slice_v5 import build_epoch_fn_pallas_v5
 
+        # newest first; v5/v4/v3 are bitwise-identical, so a build failure
+        # (e.g. an unexpected Mosaic lowering limit) degrades speed only
+        try:
+            return build_epoch_fn_pallas_v5(calc_point_batch, cfg, axis_name)
+        except Exception:
+            pass
         try:
             return build_epoch_fn_pallas_v4(calc_point_batch, cfg, axis_name)
         except Exception:
             pass
         try:
-            # sliding-window kernel failed to build (e.g. an unexpected
-            # Mosaic lowering limit): the v3 free-running kernel is bitwise
-            # identical, just slower
             return build_epoch_fn_pallas_v3(calc_point_batch, cfg, axis_name)
         except Exception:
             return build_epoch_fn_pallas(calc_point_batch, cfg, axis_name)
@@ -172,6 +176,14 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
         from .pallas_slice_v3 import build_epoch_fn_pallas_v3
 
         return build_epoch_fn_pallas_v3(calc_point_batch, cfg, axis_name)
+    if cfg.engine == "pallas4":  # forced v4 sliding-window kernel (A/B)
+        from .pallas_slice_v4 import build_epoch_fn_pallas_v4
+
+        return build_epoch_fn_pallas_v4(calc_point_batch, cfg, axis_name)
+    if cfg.engine == "pallas5":  # forced v5 speculative kernel (A/B)
+        from .pallas_slice_v5 import build_epoch_fn_pallas_v5
+
+        return build_epoch_fn_pallas_v5(calc_point_batch, cfg, axis_name)
     return build_epoch_fn_scan(calc_point_batch, cfg, axis_name)
 
 

@@ -177,3 +177,75 @@ class TestPallasEndToEnd:
             seed=5,
         )
         assert np.isfinite(out.logZ)
+
+
+@pytest.mark.slow
+class TestSpeculativeV5:
+    """The v5 speculative-packet kernel must replay v4's sequential machine
+    decision-exactly: accepted positions and eval counts bitwise, logL
+    within float-graph noise (see ops/pallas_slice_v5.py docstring and
+    experiments/check_v5.py for the full edge-case sweep)."""
+
+    @pytest.mark.parametrize(
+        "max_step,max_shrink,chol_scale,bound_off",
+        [
+            (100, 100, SIGMA, 0.0),      # typical contour
+            (3, 100, 0.002, 0.0),        # step-out ladder capped
+            (100, 2, 0.5, 5.0),          # forced (logzero) shrink accepts
+        ],
+    )
+    def test_decision_exact_vs_v4(
+        self, calc, max_step, max_shrink, chol_scale, bound_off
+    ):
+        from polychordlite_tpu.ops.pallas_slice_v4 import (
+            build_epoch_fn_pallas_v4,
+        )
+        from polychordlite_tpu.ops.pallas_slice_v5 import (
+            build_epoch_fn_pallas_v5,
+        )
+
+        B, R = 1024, 5
+        cfg = EpochConfig(
+            n_dims=D, n_phi=1, grade_dims=(D,), num_repeats=(R,),
+            engine="pallas", max_step=max_step, max_shrink=max_shrink,
+        )
+        key = jax.random.PRNGKey(2)
+        seeds = 0.5 + 0.05 * jax.random.normal(key, (B, D))
+        r0 = 1.5 * SIGMA * math.sqrt(D)
+        bound = jnp.full(
+            (B,), NORM - 0.5 * (r0 / SIGMA) ** 2 + bound_off, jnp.float32
+        )
+        chol = jnp.broadcast_to(
+            chol_scale * jnp.eye(D, dtype=jnp.float32), (B, D, D)
+        )
+        valid = jnp.ones((B,), bool).at[:100].set(False)
+        p4 = np.asarray(
+            jax.jit(build_epoch_fn_pallas_v4(calc, cfg))(
+                key, seeds, bound, chol, valid
+            )
+        )
+        p5 = np.asarray(
+            jax.jit(build_epoch_fn_pallas_v5(calc, cfg))(
+                key, seeds, bound, chol, valid
+            )
+        )
+        stride = 2 * D + 1 + 1
+        r4 = p4[:, : R * stride].reshape(B, R, stride)
+        r5 = p5[:, : R * stride].reshape(B, R, stride)
+        # positions + derived: bitwise; nlike tail: bitwise
+        assert np.array_equal(r4[:, :, :-1], r5[:, :, :-1])
+        assert np.array_equal(p4[:, R * stride:], p5[:, R * stride:])
+        np.testing.assert_allclose(
+            r4[:, :, -1], r5[:, :, -1], rtol=1e-5, atol=1e-3
+        )
+
+    def test_engine_dispatch_prefers_v5(self, calc):
+        """engine='pallas' resolves to the v5 kernel when it builds."""
+        from polychordlite_tpu.ops.slice_kernel import build_epoch_fn
+
+        cfg = EpochConfig(
+            n_dims=D, n_phi=1, grade_dims=(D,), num_repeats=(4,),
+            engine="pallas",
+        )
+        fn = build_epoch_fn(calc, cfg)
+        assert "pallas_slice_v5" in fn.__module__
