@@ -82,9 +82,13 @@ from .pallas_slice import (
     _srl,
     _validated_tile_logL,
 )
-from .pallas_slice_v4 import RES_OUT_MAX, W, _pick_sc
+from .pallas_slice_v4 import RES_OUT_MAX, _pick_sc
 
 P = 4  # probes per macro-step (the INIT plan [tR, tL, +w, -w] needs 4)
+W = 8  # direction-ring slots; v5 lanes finish repeats ~2x faster than v4's
+       # micro-step machine, so v4's 4-slot window (lookahead W-2 = 2
+       # repeats) stalls them; 8 slots restore the slack (measured:
+       # experiments/prof_v5_sc.py)
 
 
 def build_epoch_fn_pallas_v5(
@@ -271,10 +275,11 @@ def build_epoch_fn_pallas_v5(
                 # evaluated probe) is merged into the new chain position —
                 # v4 stores the evaluated probe verbatim and v5 must match
                 # it bitwise.
-                false = jnp.zeros((SC, LANE), bool)
+                false = i32() > i32(1)   # all-false mask (Mosaic has no
+                true = i32() < i32(1)    # i1 splat: derive from compares)
                 logL = []
                 inside = []
-                sh_nxt = jnp.ones((SC, LANE), bool)
+                sh_nxt = true
                 sh_acc = false
                 sh_t = f32()
                 sh_logL = f32(logzero)
@@ -306,8 +311,12 @@ def build_epoch_fn_pallas_v5(
                 # in_l and STEP_R finished inside the packet)
                 in_r = inside[0]
                 in_l = inside[1]
-                stop2 = ~inside[2] | (1 >= max_step)  # probe2 is rstep=1
-                stop3 = ~inside[3] | (1 >= max_step)  # probe3 is lstep=1
+                if max_step <= 1:  # static: probes 2/3 are rstep/lstep=1
+                    stop2 = true
+                    stop3 = true
+                else:
+                    stop2 = ~inside[2]
+                    stop3 = ~inside[3]
                 s2_used = in_r
                 s3_used = in_l & (~in_r | stop2)
                 init_to_sr = in_r & ~stop2                      # rstep=2
@@ -331,7 +340,7 @@ def build_epoch_fn_pallas_v5(
                 def ladder(stops):
                     """First-stop scan of a stepping-out packet: returns
                     (any_stop, t_stop, consumed, counted_masks)."""
-                    nxt = jnp.ones((SC, LANE), bool)  # no stop before slot j
+                    nxt = true  # no stop before slot j
                     any_stop = false
                     t_stop = f32()
                     cons = i32()
@@ -381,14 +390,15 @@ def build_epoch_fn_pallas_v5(
                 consumed = jnp.where(is_sl, sl_cons, consumed)
                 consumed = jnp.where(is_sh, sh_cons, consumed)
 
-                # per-slot counted mask -> per-repeat eval count (f32 sum)
+                # per-slot counted mask -> per-repeat eval count.  Phases
+                # are disjoint, so the masks sum in f32 (Mosaic cannot
+                # select i1 vectors: no i8->i1 truncation).
                 cnt = f32()
                 for j in range(P):
-                    cj = jnp.where(is_init, init_counted[j], false)
-                    cj = jnp.where(is_sr, sr_counted[j], cj)
-                    cj = jnp.where(is_sl, sl_counted[j], cj)
-                    cj = jnp.where(is_sh, sh_counted[j], cj)
-                    cnt = cnt + cj.astype(jnp.float32)
+                    cnt = cnt + (is_init & init_counted[j]).astype(jnp.float32)
+                    cnt = cnt + (is_sr & sr_counted[j]).astype(jnp.float32)
+                    cnt = cnt + (is_sl & sl_counted[j]).astype(jnp.float32)
+                    cnt = cnt + (is_sh & sh_counted[j]).astype(jnp.float32)
 
                 # window-indexed output read-modify-write (v4 layout)
                 for j in range(w_ring):
