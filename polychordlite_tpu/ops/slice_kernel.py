@@ -154,14 +154,16 @@ def build_epoch_fn(calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] 
         from .pallas_slice_v4 import build_epoch_fn_pallas_v4
         from .pallas_slice_v5 import build_epoch_fn_pallas_v5
 
-        # newest first; v5/v4/v3 are bitwise-identical, so a build failure
-        # (e.g. an unexpected Mosaic lowering limit) degrades speed only
+        # fastest first (v4 292.7M vs v5 289.5M evals/s on chip,
+        # experiments/prof_v5_sc.py); the engines are decision-exact
+        # equivalents, so a build failure (e.g. an unexpected Mosaic
+        # lowering limit) degrades speed only
         try:
-            return build_epoch_fn_pallas_v5(calc_point_batch, cfg, axis_name)
+            return build_epoch_fn_pallas_v4(calc_point_batch, cfg, axis_name)
         except Exception:
             pass
         try:
-            return build_epoch_fn_pallas_v4(calc_point_batch, cfg, axis_name)
+            return build_epoch_fn_pallas_v5(calc_point_batch, cfg, axis_name)
         except Exception:
             pass
         try:
