@@ -267,6 +267,20 @@ def nested_sampling(
         R = cfg.total_repeats
         from ..parallel.mesh import make_epoch_runner
 
+        if not s.synchronous and s.batch_size > max(32, s.nlive // 2):
+            # dispatch-ahead staleness at this width measurably biases
+            # logZ high (calibration study: async B=nlive mean pull
+            # +0.48 over 32 seeds); the async default is nlive/4
+            import warnings
+
+            warnings.warn(
+                f"synchronous=False with batch_size={s.batch_size} > "
+                f"nlive/2: babies are ~2 volume e-folds stale at "
+                f"insertion and logZ is biased high (see "
+                f"benchmarks/calibration_study.json). Reduce batch_size "
+                f"to <= nlive/4 or use synchronous=True.",
+                stacklevel=2,
+            )
         run_epoch, B = make_epoch_runner(
             calc, cfg, s.resolved_batch_size(),
             single_device=calc.uses_callback,

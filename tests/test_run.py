@@ -340,3 +340,33 @@ class TestEngineDefault:
         from polychordlite_tpu.settings import PolyChordSettings
 
         assert PolyChordSettings(4, 0).engine == "auto"
+
+
+class TestAsyncStaleness:
+    """Dispatch-ahead (asynchronous) mode is fenced against the measured
+    staleness bias: 32-seed calibration (benchmarks/calibration_study.json)
+    shows async B=nlive pulls logZ high by +0.48 sigma, while async
+    B=nlive/4 is clean (+0.037, sigma 0.985)."""
+
+    def test_async_default_batch_is_quarter_nlive(self):
+        from polychordlite_tpu.settings import PolyChordSettings
+
+        s = PolyChordSettings(4, 0, nlive=200, synchronous=False)
+        assert s.resolved_batch_size() == 56  # 200//4 rounded up to 8
+        s_sync = PolyChordSettings(4, 0, nlive=200, synchronous=True)
+        assert s_sync.resolved_batch_size() == 200
+
+    def test_async_oversized_batch_warns(self, tmp_path):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            run_small(
+                tmp_path, file_root="aw", synchronous=False,
+                batch_size=200, max_ndead=120,
+            )
+        assert any("biased high" in str(x.message) for x in w)
+
+    def test_async_default_run_accurate(self, tmp_path):
+        out = run_small(tmp_path, file_root="ad", synchronous=False)
+        assert abs(out.logZ - ANALYTIC_LOGZ) < 3 * out.logZerr + 0.1
