@@ -110,6 +110,18 @@ def _key_words(key):
     return kd[0], kd[-1]
 
 
+def _sds(shape, dtype, axis_name):
+    """ShapeDtypeStruct for a pallas_call output, marked varying over the
+    shard_map axis when one is active: with jax's check_vma, a pallas_call
+    inside shard_map REFUSES to trace unless the output declares its
+    varying-mesh-axes — and the runner's scan fallback would otherwise
+    silently demote the whole run (found via
+    tests/test_parallel.py::TestPallasUnderShardMap)."""
+    if axis_name is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset({axis_name}))
+
+
 def _validated_tile_logL(calc_point_batch, cfg):
     """Resolve the in-kernel likelihood for the Pallas engines.
 
@@ -376,9 +388,9 @@ def build_epoch_fn_pallas(
                 scratch_shapes=[pltpu.VMEM((D, S, LANE), jnp.float32)],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((R, D, S, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((R, S, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((R, S, LANE), jnp.int32),
+                _sds((R, D, S, LANE), jnp.float32, axis_name),
+                _sds((R, S, LANE), jnp.float32, axis_name),
+                _sds((R, S, LANE), jnp.int32, axis_name),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),

@@ -61,6 +61,7 @@ from .pallas_slice import (
     _key_words,
     _mix,
     _srl,
+    _sds,
     _validated_tile_logL,
 )
 
@@ -375,9 +376,9 @@ def build_epoch_fn_pallas_v3(
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((R, S, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((R, S, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((R, S, LANE), jnp.int32),
+                _sds((R, S, LANE), jnp.float32, axis_name),
+                _sds((R, S, LANE), jnp.float32, axis_name),
+                _sds((R, S, LANE), jnp.int32, axis_name),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),

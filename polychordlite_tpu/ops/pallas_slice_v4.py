@@ -65,6 +65,7 @@ from .pallas_slice import (
     _key_words,
     _mix,
     _srl,
+    _sds,
     _validated_tile_logL,
 )
 
@@ -468,11 +469,11 @@ def build_epoch_fn_pallas_v4(
             out_specs = pl.BlockSpec(
                 (R, 3, SC, LANE), lambda ci, *_: (0, 0, ci, 0)
             )
-            out_shape = jax.ShapeDtypeStruct((R, 3, S, LANE), jnp.float32)
+            out_shape = _sds((R, 3, S, LANE), jnp.float32, axis_name)
         else:
             out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
-            out_shape = jax.ShapeDtypeStruct(
-                (n_chunks, R, 3, SC, LANE), jnp.float32
+            out_shape = _sds(
+                (n_chunks, R, 3, SC, LANE), jnp.float32, axis_name
             )
 
         scratch = [pltpu.VMEM((w_ring, D + 1, SC, LANE), jnp.float32)]

@@ -98,12 +98,23 @@ def make_epoch_runner(
         if n_dev == 1:
             return jax.jit(wrapped)
         mesh = Mesh(np.array(devices), ("chains",))
+        # check_vma must be off for the Pallas engines: vma propagation
+        # through pallas_call's interpreter/lowering is incomplete (jax
+        # raises "Primitive gt requires varying manual axes to match" from
+        # inside its own machinery and suggests this workaround), and the
+        # dispatch-time fallback would otherwise silently demote every
+        # sharded run to the scan engine
+        # (tests/test_parallel.py::TestPallasUnderShardMap).
         return jax.jit(
             jax.shard_map(
                 wrapped,
                 mesh=mesh,
                 in_specs=(P(), P("chains")),
                 out_specs=P("chains"),
+                check_vma=not (
+                    cfg.engine.startswith("pallas")
+                    or jax.default_backend() == "tpu"  # pallas dirs kernel
+                ),
             )
         )
 

