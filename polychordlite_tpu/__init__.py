@@ -9,11 +9,13 @@ bookkeeping on the host, pypolychord-compatible API and output files.
 
 __version__ = "0.1.0"
 
+from .models.graded import GradedLikelihood
 from .output import PolyChordOutput
 from .run import run, run_polychord
 from .settings import PolyChordSettings
 
 __all__ = [
+    "GradedLikelihood",
     "run",
     "run_polychord",
     "PolyChordSettings",

@@ -72,7 +72,9 @@ def default_dumper(live, dead, logweights, logZ, logZerr):
     pass
 
 
-def resolve_engine(engine: str, uses_callback: bool) -> str:
+def resolve_engine(
+    engine: str, uses_callback: bool, graded: bool = False
+) -> str:
     """Resolve ``engine="auto"`` to the concrete engine.
 
     One hot-path story (the reference has exactly one,
@@ -80,7 +82,11 @@ def resolve_engine(engine: str, uses_callback: bool) -> str:
     point — ``run()``, the ini CLI, the C API — gets the fused Mosaic
     kernel; the runner still falls back to scan if the model fails to
     lower.  Host-callback likelihoods and CPU runs use the scan engine.
+    Decomposed fast/slow likelihoods (models/graded.py) always use the
+    scan engine — it is the one carrying the slow-part cache.
     """
+    if graded:
+        return "scan"
     if engine != "auto":
         return engine
     return (
@@ -255,7 +261,9 @@ def nested_sampling(
         _feedback(s, 1, f"num_repeats per grade: {list(num_repeats)}")
 
         # --- build the device epoch function -------------------------------
-        engine = resolve_engine(s.engine, calc.uses_callback)
+        engine = resolve_engine(
+            s.engine, calc.uses_callback, getattr(calc, "graded", False)
+        )
         cfg = EpochConfig(
             n_dims=s.nDims,
             n_phi=max(s.nDerived, 1),

@@ -22,11 +22,13 @@ from .examples import (
     LIKELIHOODS,
 )
 from .data_driven import fitting, object_detection
+from .graded import GradedLikelihood
 
 LIKELIHOODS["fitting"] = fitting
 LIKELIHOODS["object_detection"] = object_detection
 
 __all__ = [
+    "GradedLikelihood",
     "fitting",
     "object_detection",
     "eggbox",

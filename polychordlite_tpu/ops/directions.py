@@ -94,6 +94,7 @@ def make_directions(
     num_repeats: Tuple[int, ...],
     n_dims: int,
     use_kernel: bool = None,
+    shared_perm_key=None,
 ):
     """Generate whitened slice directions for a batch of chains.
 
@@ -106,6 +107,12 @@ def make_directions(
     ~1 ms for the kernel.  Both paths consume identical RNG streams
     (same per-chain keys, same gaussian draws); only the float-level
     projection order of the orthonormalisation differs.
+
+    ``shared_perm_key``: use ONE slot permutation for the whole batch
+    (derived from this key) instead of per-chain shuffles — required by
+    the graded-likelihood scan engine so every repeat is grade-uniform
+    across lanes (chains stay independent; within-chain fast/slow
+    interleaving is preserved).  Statistically a seed change.
     """
     R = int(sum(num_repeats))
     B = chain_keys.shape[0]
@@ -158,7 +165,10 @@ def make_directions(
             blocks.append(full)
         nhats = jnp.concatenate(blocks, axis=1)  # (B, R, D)
         speeds = jnp.broadcast_to(speeds_r, (B, R))
-        perm = jax.vmap(_perm_of)(all_keys[:, -1])
+        if shared_perm_key is not None:
+            perm = jnp.broadcast_to(_perm_of(shared_perm_key), (B, R))
+        else:
+            perm = jax.vmap(_perm_of)(all_keys[:, -1])
     else:
 
         def per_chain(chain_key):
@@ -174,6 +184,10 @@ def make_directions(
             return nhats, _perm_of(keys[-1])
 
         nhats, perm = jax.vmap(per_chain)(chain_keys)
+        if shared_perm_key is not None:
+            perm = jnp.broadcast_to(_perm_of(shared_perm_key), (B, R))
+        else:
+            pass  # per-chain perms from per_chain
         speeds = jnp.broadcast_to(speeds_r, (B, R))
 
     if R > 1:

@@ -204,4 +204,50 @@ def make_batched_calculator(
     calc_point_batch.n_phi = n_phi
     calc_point_batch.single_logL = single_logL
     calc_point_batch.point_logL = point_logL
+
+    # --- decomposed fast/slow support (models/graded.py) -------------------
+    from ..models.graded import GradedLikelihood
+
+    calc_point_batch.graded = False
+    if isinstance(loglike_fn, GradedLikelihood) and not use_callback:
+        n_slow = loglike_fn.n_slow
+
+        def _slow_aux_one(cube):
+            theta = jnp.asarray(
+                prior_fn(jnp.clip(cube, 0.0, 1.0)), dtype=jnp.float32
+            )
+            return loglike_fn.slow_fn(theta[:n_slow])
+
+        def _fast_one(aux, cube):
+            theta = jnp.asarray(
+                prior_fn(jnp.clip(cube, 0.0, 1.0)), dtype=jnp.float32
+            )
+            logL, phi = _normalise_like_output(
+                loglike_fn.fast_fn(aux, theta), n_phi, n_derived
+            )
+            return theta, phi, logL
+
+        slow_aux_v = jax.vmap(_slow_aux_one)
+        fast_v = jax.vmap(_fast_one)
+
+        def slow_aux_batch(cube):
+            """(B, D) seed cubes -> batched slow-part intermediate."""
+            return slow_aux_v(cube)
+
+        def fast_point_batch(aux, cube):
+            """Fast-grade probe evaluation with calculate_point semantics
+            (cube walls, NaN guard — calculate.f90:36-42), re-using the
+            cached slow intermediate."""
+            inside = jnp.all((cube >= 0.0) & (cube <= 1.0), axis=1)
+            theta, phi, logL = fast_v(aux, cube)
+            logL = jnp.where(jnp.isnan(logL), logzero, logL)
+            logL = jnp.where(inside, logL, logzero)
+            theta = jnp.where(inside[:, None], theta, 0.0)
+            phi = jnp.where(inside[:, None], phi, 0.0)
+            return theta, phi, logL
+
+        calc_point_batch.graded = True
+        calc_point_batch.n_slow = n_slow
+        calc_point_batch.slow_aux_batch = slow_aux_batch
+        calc_point_batch.fast_point_batch = fast_point_batch
     return calc_point_batch

@@ -193,12 +193,22 @@ def build_epoch_fn_scan(
     calc_point_batch, cfg: EpochConfig, axis_name: Optional[str] = None
 ):
     """Scan-over-repeats engine (the bitwise oracle for the ring engine, and
-    the overflow fallback)."""
+    the overflow fallback).
+
+    For decomposed fast/slow likelihoods (models/graded.py) this engine
+    exploits the grade structure: the slot shuffle is shared across the
+    batch so every repeat is grade-uniform, the slow-part intermediate
+    ``aux`` is carried through the scan (recomputed only after slow-grade
+    repeats), and fast-grade probes evaluate only ``fast_fn`` — the
+    reference's fast/slow win (``generate.F90:330-455``,
+    ``chordal_sampling.f90:94-145``) made explicit for a functional
+    engine."""
     D = cfg.n_dims
     R = cfg.total_repeats
     n_grades = len(cfg.grade_dims)
     logzero = cfg.logzero
     max_inner = 2 * cfg.max_step + cfg.max_shrink + 4
+    graded = bool(getattr(calc_point_batch, "graded", False)) and n_grades > 1
 
     def epoch(key, seed_cube, bound, cholesky, lane_valid):
         B = seed_cube.shape[0]
@@ -210,6 +220,9 @@ def build_epoch_fn_scan(
             grade_dims=cfg.grade_dims,
             num_repeats=cfg.num_repeats,
             n_dims=D,
+            shared_perm_key=(
+                jax.random.fold_in(key, 0x5EED) if graded else None
+            ),
         )
         bound_f = bound.astype(jnp.float32)
         valid = lane_valid
@@ -223,8 +236,13 @@ def build_epoch_fn_scan(
             lanes' loops run — results are bitwise independent of the
             sharding (threading a split key through the loop would couple
             lanes to the local batch's convergence length)."""
-            x0 = carry
+            if graded:
+                x0, aux = carry
+            else:
+                x0 = carry
             nhat, w, grade, r_idx = per_repeat  # (B,D), (B,), (B,), ()
+            # shared shuffle in graded mode -> the repeat is grade-uniform
+            grade_u = grade[0]
 
             rep_keys = jax.vmap(lambda k: jax.random.fold_in(k, r_idx))(loop_keys)
 
@@ -270,7 +288,19 @@ def build_epoch_fn_scan(
                 t = jnp.where(phase == PH_SHRINK, t_sh, t)
 
                 probe = x0 + t[:, None] * nhat
-                theta, phi, logL = calc_point_batch(probe)
+                if graded:
+                    # slow-grade repeats evaluate the full likelihood; fast
+                    # repeats reuse the cached slow intermediate (only the
+                    # taken branch executes under lax.cond)
+                    theta, phi, logL = jax.lax.cond(
+                        grade_u == 0,
+                        lambda a, p: calc_point_batch(p),
+                        calc_point_batch.fast_point_batch,
+                        aux,
+                        probe,
+                    )
+                else:
+                    theta, phi, logL = calc_point_batch(probe)
 
                 inside = (logL >= bound_f) & (logL > logzero)
                 counted = (phase != PH_DONE) & (logL > logzero)
@@ -341,6 +371,17 @@ def build_epoch_fn_scan(
             # forced logzero accept, as in the reference (the chain continues
             # from the failed probe, SliceSampling chordal_sampling.f90:85-89)
             new_x0 = st["acc_cube"]
+            if graded:
+                # the slow parameters changed only if this was a slow-grade
+                # repeat: refresh the cached intermediate then (one slow
+                # evaluation per slow repeat, not per probe)
+                new_aux = jax.lax.cond(
+                    grade_u == 0,
+                    lambda c, a: calc_point_batch.slow_aux_batch(c),
+                    lambda c, a: a,
+                    new_x0,
+                    aux,
+                )
             out = jnp.concatenate(
                 [
                     st["acc_cube"],
@@ -354,7 +395,7 @@ def build_epoch_fn_scan(
                 jax.nn.one_hot(grade, n_grades, dtype=jnp.int32)
                 * st["nlike"][:, None]
             )  # (B, n_grades)
-            return new_x0, (out, nlike_g)
+            return (new_x0, new_aux) if graded else new_x0, (out, nlike_g)
 
         per_repeat = (
             jnp.swapaxes(nhats, 0, 1),  # (R, B, D)
@@ -362,9 +403,13 @@ def build_epoch_fn_scan(
             jnp.swapaxes(speeds, 0, 1),  # (R, B)
             jnp.arange(R),  # repeat indices for the RNG streams
         )
-        x_final, (outs, nlike_g) = jax.lax.scan(
-            one_repeat, seed_cube.astype(jnp.float32), per_repeat
+        seed_f = seed_cube.astype(jnp.float32)
+        init_carry = (
+            (seed_f, calc_point_batch.slow_aux_batch(seed_f))
+            if graded
+            else seed_f
         )
+        x_final, (outs, nlike_g) = jax.lax.scan(one_repeat, init_carry, per_repeat)
         # outs: (R, B, 2D+n_phi+1) -> (B, R*(2D+n_phi+1));
         # nlike_g: (R, B, n_grades) -> (B, n_grades)
         stride = 2 * D + cfg.n_phi + 1
