@@ -202,12 +202,31 @@ def quickstart_accuracy():
     )
     dt = time.perf_counter() - t0
     analytic = -4 * math.log(2)
-    return {
+    extras = {
         "dead_points_per_s": round(out.ndead / dt, 1),
         "logZ_err_vs_analytic": round(abs(out.logZ - analytic), 4),
         "logZ_sigma": round(out.logZerr, 4),
         "quickstart_seconds": round(dt, 1),
     }
+    # transport attribution (VERDICT r3 item 7): how much of the quickstart
+    # wall is device epochs vs host administration vs everything else
+    # (dispatch/fetch transport + retracing) — from the metrics stream
+    try:
+        recs = [
+            json.loads(line)
+            for line in open("/tmp/bench_chains/quickstart.metrics.jsonl")
+        ]
+        host_s = sum(sum(r.get("host_breakdown", {}).values()) for r in recs)
+        last = recs[-1]
+        dev_s = last["device_frac"] * last["t"]
+        extras["host_ms_per_dead"] = round(1e3 * host_s / max(out.ndead, 1), 3)
+        extras["device_frac"] = last["device_frac"]
+        extras["transport_frac"] = round(
+            max(0.0, (last["t"] - dev_s - host_s) / last["t"]), 4
+        )
+    except Exception:
+        pass
+    return extras
 
 
 def main():

@@ -22,6 +22,7 @@ the same Voronoi rule ``add_cluster`` applies to in-flight phantoms
 
 from __future__ import annotations
 
+import copy
 import math
 import sys
 import time
@@ -312,6 +313,16 @@ def nested_sampling(
             resume=resumed,
         )
         nlikesum = np.zeros(n_grades, dtype=np.int64)
+        # per-e-fold file products are formatted+written by a background
+        # thread over a state snapshot (utils/writebehind.py) — measured as
+        # the administrator's largest host phase when synchronous
+        from ..utils.writebehind import WriteBehindWriter
+
+        any_writes = _is_root() and (
+            s.write_resume or s.write_live or s.write_dead
+            or s.write_stats or s.equals or s.posteriors
+        )
+        writer = WriteBehindWriter() if any_writes else None
         failures = 0
         nfail = s.resolved_nfail()
         # Resumes continue the device RNG stream where the saved run left
@@ -335,7 +346,8 @@ def nested_sampling(
 
         def _dispatch():
             nonlocal epoch_idx
-            seeds, cluster_ids = generate_seeds(rti, B, rng)
+            with metrics.phase("seed_gen"):
+                seeds, cluster_ids = generate_seeds(rti, B, rng)
             bound = np.asarray(rti.logLp[cluster_ids], dtype=np.float64).copy()
             chol = rti.cholesky[cluster_ids]
             epoch_key = jax.random.fold_in(key, 100_000 + epoch_idx)
@@ -410,6 +422,9 @@ def nested_sampling(
                 VORONOI_SUB = 16
                 lpts = babies[b0:b1, -1]
                 assign = identify_clusters_batch(rti, lpts)
+                _nested = ("posteriors", "file_writes", "dumper", "clustering")
+                t_loop0 = time.time()
+                _n0 = sum(metrics._phase_tot.get(k, 0.0) for k in _nested)
                 b = b0
                 while b < b1:
                     if rti.epoch != epoch0:
@@ -435,9 +450,19 @@ def nested_sampling(
                     )
                     if update:
                         rti.logX_last_update = lse_logXp
-                        update_posteriors(rti)
-                        _write_products(s, rti, nlikesum, rng, key)
-                        _dump(dumper, s, rti)
+                        with metrics.phase("posteriors"):
+                            update_posteriors(rti)
+                        with metrics.phase("file_writes"):
+                            if writer is not None:
+                                snap_rti = copy.deepcopy(rti)
+                                snap_rng = copy.deepcopy(rng)
+                                snap_nl = nlikesum.copy()
+                                writer.submit(
+                                    lambda r=snap_rti, g=snap_rng, n=snap_nl:
+                                    _write_products(s, r, n, g, key)
+                                )
+                        with metrics.phase("dumper"):
+                            _dump(dumper, s, rti)
 
                     delete_cluster(rti)
                     if rti.ncluster == 0:
@@ -460,15 +485,25 @@ def nested_sampling(
                             s, rti, nlikesum, logZ, varlogZ, frac
                         )
                         nlikesum[:] = 0
-                        if s.do_clustering:
-                            if s.sub_clustering_dimensions:
-                                do_clustering(rti, s.sub_clustering_dimensions)
-                            do_clustering(rti)
-                        calculate_covmats(rti)
+                        with metrics.phase("clustering"):
+                            if s.do_clustering:
+                                if s.sub_clustering_dimensions:
+                                    do_clustering(
+                                        rti, s.sub_clustering_dimensions
+                                    )
+                                do_clustering(rti)
+                            calculate_covmats(rti)
 
                     running = more_samples_needed(s, rti)
                     if not running:
                         break
+                # pure insertion cost: exclude the nested e-fold phases
+                _n1 = sum(metrics._phase_tot.get(k, 0.0) for k in _nested)
+                metrics._phase_tot["baby_loop"] = (
+                    metrics._phase_tot.get("baby_loop", 0.0)
+                    + (time.time() - t_loop0)
+                    - (_n1 - _n0)
+                )
                 if rti.epoch != epoch0 and rti.ncluster > 0 and b < B:
                     ids[b:] = identify_clusters_batch(rti, babies[b:, -1])
                 b0 = b
@@ -479,6 +514,8 @@ def nested_sampling(
                 # nursery; exactly one nursery in flight
                 pending = _dispatch()
 
+        if writer is not None:
+            writer.flush()
         if s.write_resume and is_root():
             resume_mod.write_resume_file(s, rti, rng, key)
 
@@ -537,5 +574,10 @@ def nested_sampling(
             "rti": rti,
         }
     finally:
+        try:
+            if "writer" in locals() and writer is not None:
+                writer.close()
+        except Exception:
+            pass
         if device_ctx is not None:
             device_ctx.__exit__(None, None, None)

@@ -44,6 +44,8 @@ class RunMetrics:
         self._last_t = self.t_start
         self._last_nlike = 0
         self._last_ndead = 0
+        self._phase_tot = {}   # cumulative seconds per named host phase
+        self._phase_last = {}  # snapshot at the previous record
         if path is not None:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             if not resume or not os.path.exists(path):
@@ -59,6 +61,21 @@ class RunMetrics:
         finally:
             self.device_time += time.time() - t0
             self.epochs += 1
+
+    @contextmanager
+    def phase(self, name: str):
+        """Accumulate wall time of a named host phase (file writes, the
+        per-baby insertion loop, clustering, ...); per-record deltas are
+        published as ``host_breakdown`` so the administrator's cost
+        structure is observable per e-fold — the VERDICT r3 item-7
+        instrument."""
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self._phase_tot[name] = (
+                self._phase_tot.get(name, 0.0) + time.time() - t0
+            )
 
     def record(self, *, ndead, nlive, ncluster, logZ, varlogZ, nlike):
         now = time.time()
@@ -76,7 +93,12 @@ class RunMetrics:
             "dead_per_s": round((int(ndead) - self._last_ndead) / dt, 1),
             "device_frac": round(self.device_time / wall, 4),
             "epochs": self.epochs,
+            "host_breakdown": {
+                k: round(v - self._phase_last.get(k, 0.0), 4)
+                for k, v in self._phase_tot.items()
+            },
         }
+        self._phase_last = dict(self._phase_tot)
         self._last_t = now
         self._last_nlike = int(nlike)
         self._last_ndead = int(ndead)
