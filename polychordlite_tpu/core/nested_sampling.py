@@ -166,6 +166,16 @@ def nested_sampling(
     s = settings.finalise()
     t_start = time.time()
 
+    # --- precision mode (ops/precision.py) ---------------------------------
+    from ..ops.precision import F32_SAFE_LOGL, real_dtype, set_real_dtype
+
+    x64_before = jax.config.read("jax_enable_x64")
+    if getattr(s, "precision", "single") == "highest":
+        jax.config.update("jax_enable_x64", True)  # process-wide for the run
+        set_real_dtype(jnp.float64)
+    else:
+        set_real_dtype(jnp.float32)
+
     # --- RNG: one host generator + one device key, both from the seed ------
     seed = s.seed if s.seed >= 0 else int(time.time_ns() % (2**31))
     if jax.process_count() > 1:
@@ -265,6 +275,21 @@ def nested_sampling(
         engine = resolve_engine(
             s.engine, calc.uses_callback, getattr(calc, "graded", False)
         )
+        if real_dtype() == jnp.float64 and engine.startswith("pallas"):
+            # the Mosaic kernels are f32-only; highest precision runs scan
+            engine = "scan"
+        if real_dtype() == jnp.float32:
+            maxabs = float(np.abs(rti.all_live()[:, s.l0]).max(initial=0.0))
+            if maxabs > F32_SAFE_LOGL:
+                import warnings
+
+                warnings.warn(
+                    f"|logL| reaches {maxabs:.3g}: the f32 contour test "
+                    f"loses resolution beyond ~{F32_SAFE_LOGL:.0g} "
+                    f"(ulp(1e7)=1). Use precision='highest' (f64 scan "
+                    f"engine).",
+                    stacklevel=2,
+                )
         cfg = EpochConfig(
             n_dims=s.nDims,
             n_phi=max(s.nDerived, 1),
@@ -581,3 +606,6 @@ def nested_sampling(
             pass
         if device_ctx is not None:
             device_ctx.__exit__(None, None, None)
+        # restore process-wide precision state for subsequent runs
+        set_real_dtype(jnp.float32 if not x64_before else jnp.float64)
+        jax.config.update("jax_enable_x64", x64_before)

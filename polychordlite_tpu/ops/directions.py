@@ -27,6 +27,8 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .precision import real_dtype
+
 
 def _gram_schmidt(gauss: jnp.ndarray, block: int = 5) -> jnp.ndarray:
     """Batched Gram-Schmidt orthonormalisation of the columns of
@@ -120,7 +122,11 @@ def make_directions(
         use_kernel = jax.default_backend() == "tpu"
     from .pallas_dirs import LANE as _L, SC as _SC
 
-    use_kernel = use_kernel and B % (_SC * _L) == 0
+    use_kernel = (
+        use_kernel
+        and B % (_SC * _L) == 0
+        and real_dtype() == jnp.float32  # the GS kernel is f32-only
+    )
 
     def _perm_of(key):
         # Shuffle slots 1..R-1, keeping the first slot slow

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .logspace import LOG_ZERO
+from .precision import real_dtype
 
 
 class DerivedMismatchError(ValueError):
@@ -38,7 +39,7 @@ def _normalise_like_output(out, n_phi: int, n_derived_decl: int = 0):
     (``pypolychord/polychord.py:581-587``)."""
     if isinstance(out, tuple):
         logL, phi = out
-        phi = jnp.atleast_1d(jnp.asarray(phi, dtype=jnp.float32))
+        phi = jnp.atleast_1d(jnp.asarray(phi, dtype=real_dtype()))
         if phi.shape[0] == 0:
             # `return logL, []` with nDerived=0: the internal phi slot is
             # padded to width 1 for TPU layout — an empty return must not
@@ -52,17 +53,17 @@ def _normalise_like_output(out, n_phi: int, n_derived_decl: int = 0):
                     f"likelihood returned no derived parameters but "
                     f"nDerived={n_derived_decl} was declared"
                 )
-            phi = jnp.zeros((n_phi,), dtype=jnp.float32)
+            phi = jnp.zeros((n_phi,), dtype=real_dtype())
     else:
         logL = out
-        phi = jnp.zeros((n_phi,), dtype=jnp.float32)
-    return jnp.asarray(logL, dtype=jnp.float32), phi.reshape((n_phi,))
+        phi = jnp.zeros((n_phi,), dtype=real_dtype())
+    return jnp.asarray(logL, dtype=real_dtype()), phi.reshape((n_phi,))
 
 
 def is_traceable(fn: Callable, example_shape) -> bool:
     """True if ``fn`` can be traced by JAX on an abstract input."""
     try:
-        jax.eval_shape(fn, jax.ShapeDtypeStruct(example_shape, jnp.float32))
+        jax.eval_shape(fn, jax.ShapeDtypeStruct(example_shape, real_dtype()))
         return True
     except Exception:
         return False
@@ -92,7 +93,7 @@ def make_batched_calculator(
             # to the host-callback path (which would mask it with zeros)
             try:
                 jax.eval_shape(
-                    _probe, jax.ShapeDtypeStruct((n_dims,), jnp.float32)
+                    _probe, jax.ShapeDtypeStruct((n_dims,), real_dtype())
                 )
                 return True
             except DerivedMismatchError:
@@ -107,7 +108,7 @@ def make_batched_calculator(
     if not use_callback:
 
         def _single(cube):
-            theta = jnp.asarray(prior_fn(cube), dtype=jnp.float32)
+            theta = jnp.asarray(prior_fn(cube), dtype=real_dtype())
             logL, phi = _normalise_like_output(loglike_fn(theta), n_phi, n_derived)
             return theta, phi, logL
 
@@ -119,14 +120,14 @@ def make_batched_calculator(
             contract of the reference (interfaces.F90:438-457)."""
             inside = jnp.all((cube >= 0.0) & (cube <= 1.0))
             theta = jnp.asarray(
-                prior_fn(jnp.clip(cube, 0.0, 1.0)), dtype=jnp.float32
+                prior_fn(jnp.clip(cube, 0.0, 1.0)), dtype=real_dtype()
             )
             out = loglike_fn(theta)
             logL = jnp.asarray(
-                out[0] if isinstance(out, tuple) else out, jnp.float32
+                out[0] if isinstance(out, tuple) else out, real_dtype()
             )
             logL = jnp.where(jnp.isnan(logL), logzero, logL)
-            return jnp.where(inside, logL, jnp.float32(logzero))
+            return jnp.where(inside, logL, real_dtype()(logzero))
 
         def single_logL(cube_tile):
             """(D, ...) tile -> (...) logL with full calculate_point
@@ -143,10 +144,10 @@ def make_batched_calculator(
             theta = prior_fn(jnp.clip(cube_tile, 0.0, 1.0))
             out = loglike_fn(theta)
             logL = jnp.asarray(
-                out[0] if isinstance(out, tuple) else out, jnp.float32
+                out[0] if isinstance(out, tuple) else out, real_dtype()
             )
             logL = jnp.where(jnp.isnan(logL), logzero, logL)
-            return jnp.where(inw > 0.5, logL, jnp.float32(logzero))
+            return jnp.where(inw > 0.5, logL, real_dtype()(logzero))
 
         raw_eval = jax.vmap(_single)
     else:
@@ -154,9 +155,9 @@ def make_batched_calculator(
         def _host_eval(cube_np):
             cube_np = np.asarray(cube_np, dtype=np.float64)
             B = cube_np.shape[0]
-            thetas = np.zeros((B, n_dims), dtype=np.float32)
-            phis = np.zeros((B, n_phi), dtype=np.float32)
-            logLs = np.full((B,), logzero, dtype=np.float32)
+            thetas = np.zeros((B, n_dims), dtype=real_dtype())
+            phis = np.zeros((B, n_phi), dtype=real_dtype())
+            logLs = np.full((B,), logzero, dtype=real_dtype())
             for i in range(B):
                 theta = np.asarray(prior_fn(cube_np[i]), dtype=np.float64)
                 out = loglike_fn(theta)
@@ -178,9 +179,9 @@ def make_batched_calculator(
         def raw_eval(cube):
             B = cube.shape[0]
             shapes = (
-                jax.ShapeDtypeStruct((B, n_dims), jnp.float32),
-                jax.ShapeDtypeStruct((B, n_phi), jnp.float32),
-                jax.ShapeDtypeStruct((B,), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_dims), real_dtype()),
+                jax.ShapeDtypeStruct((B, n_phi), real_dtype()),
+                jax.ShapeDtypeStruct((B,), real_dtype()),
             )
             return jax.pure_callback(_host_eval, shapes, cube)
 
@@ -214,13 +215,13 @@ def make_batched_calculator(
 
         def _slow_aux_one(cube):
             theta = jnp.asarray(
-                prior_fn(jnp.clip(cube, 0.0, 1.0)), dtype=jnp.float32
+                prior_fn(jnp.clip(cube, 0.0, 1.0)), dtype=real_dtype()
             )
             return loglike_fn.slow_fn(theta[:n_slow])
 
         def _fast_one(aux, cube):
             theta = jnp.asarray(
-                prior_fn(jnp.clip(cube, 0.0, 1.0)), dtype=jnp.float32
+                prior_fn(jnp.clip(cube, 0.0, 1.0)), dtype=real_dtype()
             )
             logL, phi = _normalise_like_output(
                 loglike_fn.fast_fn(aux, theta), n_phi, n_derived

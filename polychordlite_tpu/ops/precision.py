@@ -1,0 +1,36 @@
+"""Run-precision selection — the f64 escape hatch.
+
+The reference computes in f64 throughout (``dp`` kind,
+``src/polychord/utils.F90:6``).  The TPU engines use f32 — right for the
+hardware (the MXU/VPU are f32-native) and harmless for likelihoods with
+|logL| up to ~1e6, but a big-data likelihood with |logL| ~ 1e7 loses the
+contour test ``logL >= bound`` in the f32 mantissa (ulp(1e7) = 1).
+
+``precision="highest"`` on the settings/run() surface switches the SCAN
+engine (CPU or TPU) to f64: ``jax_enable_x64`` is enabled process-wide
+and every cast in the evaluate/directions/scan path resolves through
+:func:`real_dtype`.  The Mosaic kernels stay f32 (the hardware has no
+f64 vector path) — ``resolve_engine`` routes highest-precision runs to
+the scan engine.  Runs in f32 mode warn when the generation phase sees
+|logL| beyond ``F32_SAFE_LOGL``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# |logL| beyond which the f32 contour comparison starts losing shells
+# (ulp(1e6) ~ 0.06: comparable to a tight contour's shell spacing)
+F32_SAFE_LOGL = 1e6
+
+_REAL_DTYPE = jnp.float32
+
+
+def set_real_dtype(dtype) -> None:
+    global _REAL_DTYPE
+    _REAL_DTYPE = dtype
+
+
+def real_dtype():
+    """The floating dtype of the evaluate/directions/scan-engine path."""
+    return _REAL_DTYPE

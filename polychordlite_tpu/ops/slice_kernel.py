@@ -77,6 +77,7 @@ import jax.numpy as jnp
 
 from .directions import make_directions
 from .logspace import LOG_ZERO
+from .precision import real_dtype
 
 # Phases of the per-lane state machine.
 PH_INIT_R = 0
@@ -224,7 +225,7 @@ def build_epoch_fn_scan(
                 jax.random.fold_in(key, 0x5EED) if graded else None
             ),
         )
-        bound_f = bound.astype(jnp.float32)
+        bound_f = bound.astype(real_dtype())
         valid = lane_valid
 
         def one_repeat(carry, per_repeat):
@@ -247,8 +248,8 @@ def build_epoch_fn_scan(
             rep_keys = jax.vmap(lambda k: jax.random.fold_in(k, r_idx))(loop_keys)
 
             state = dict(
-                tL=jnp.zeros((B,), jnp.float32),
-                tR=jnp.zeros((B,), jnp.float32),
+                tL=jnp.zeros((B,), real_dtype()),
+                tR=jnp.zeros((B,), real_dtype()),
                 rstep=jnp.ones((B,), jnp.int32),
                 lstep=jnp.ones((B,), jnp.int32),
                 nshrink=jnp.zeros((B,), jnp.int32),
@@ -256,9 +257,9 @@ def build_epoch_fn_scan(
                 need_l=jnp.zeros((B,), bool),
                 phase=jnp.where(valid, PH_INIT_R, PH_DONE).astype(jnp.int32),
                 acc_cube=x0,
-                acc_theta=jnp.zeros((B, D), jnp.float32),
-                acc_phi=jnp.zeros((B, cfg.n_phi), jnp.float32),
-                acc_logL=jnp.full((B,), logzero, jnp.float32),
+                acc_theta=jnp.zeros((B, D), real_dtype()),
+                acc_phi=jnp.zeros((B, cfg.n_phi), real_dtype()),
+                acc_logL=jnp.full((B,), logzero, real_dtype()),
                 nlike=jnp.zeros((B,), jnp.int32),
                 iters=jnp.zeros((), jnp.int32),
             )
@@ -403,7 +404,7 @@ def build_epoch_fn_scan(
             jnp.swapaxes(speeds, 0, 1),  # (R, B)
             jnp.arange(R),  # repeat indices for the RNG streams
         )
-        seed_f = seed_cube.astype(jnp.float32)
+        seed_f = seed_cube.astype(real_dtype())
         init_carry = (
             (seed_f, calc_point_batch.slow_aux_batch(seed_f))
             if graded
@@ -418,8 +419,8 @@ def build_epoch_fn_scan(
         packed = jnp.concatenate(
             [
                 babies,
-                nlike.astype(jnp.float32),
-                jnp.zeros((B, 1), jnp.float32),  # overflow flag (never set)
+                nlike.astype(real_dtype()),
+                jnp.zeros((B, 1), real_dtype()),  # overflow flag (never set)
             ],
             axis=1,
         )
@@ -457,8 +458,8 @@ def build_epoch_fn_ring(
             n_dims=D,
         )  # (B,R,D), (B,R), (B,R)
 
-        bound_f = bound.astype(jnp.float32)
-        x0 = seed_cube.astype(jnp.float32)
+        bound_f = bound.astype(real_dtype())
+        x0 = seed_cube.astype(real_dtype())
         valid = lane_valid
 
         def draw(rep, it):
@@ -479,7 +480,7 @@ def build_epoch_fn_ring(
         nhat0, w0, grade0 = gather_repeat(rep0)
 
         # ring slot 0 = the never-accepted default entry (seed cube, logzero)
-        ring0 = jnp.zeros((B, T_ring, D + 1), jnp.float32)
+        ring0 = jnp.zeros((B, T_ring, D + 1), real_dtype())
         ring0 = ring0.at[:, 0, :D].set(x0)
         ring0 = ring0.at[:, 0, D].set(logzero)
 
@@ -487,8 +488,8 @@ def build_epoch_fn_ring(
             rep=rep0,
             it=jnp.zeros((B,), jnp.int32),
             phase=jnp.where(valid, PH_INIT_R, PH_DONE).astype(jnp.int32),
-            tL=jnp.zeros((B,), jnp.float32),
-            tR=jnp.zeros((B,), jnp.float32),
+            tL=jnp.zeros((B,), real_dtype()),
+            tR=jnp.zeros((B,), real_dtype()),
             rstep=jnp.ones((B,), jnp.int32),
             lstep=jnp.ones((B,), jnp.int32),
             nshrink=jnp.zeros((B,), jnp.int32),
@@ -646,9 +647,9 @@ def build_epoch_fn_ring(
         packed = jnp.concatenate(
             [
                 babies,
-                st["nlike_g"].astype(jnp.float32),
+                st["nlike_g"].astype(real_dtype()),
                 jnp.broadcast_to(
-                    overflow.astype(jnp.float32), (B,)
+                    overflow.astype(real_dtype()), (B,)
                 )[:, None],
             ],
             axis=1,

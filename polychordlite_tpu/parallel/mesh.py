@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.precision import real_dtype
 from ..ops.slice_kernel import (
     EpochConfig,
     build_epoch_fn,
@@ -72,10 +73,10 @@ def make_epoch_runner(
                 seed_cube,
                 bound[:, None],
                 chol.reshape(B, D * D),
-                np.ones((B, 1), np.float32),
+                np.ones((B, 1), real_dtype()),
             ],
             axis=1,
-        ).astype(np.float32)
+        ).astype(real_dtype())
         if B_phys == B:
             return flat
         shards = flat.reshape(n_dev, rows_log, ncols)
@@ -167,9 +168,9 @@ def make_epoch_runner(
         computes, the reference's async administrator/worker overlap
         (nested_sampling.F90:288-313)."""
         packed_in = pack_inputs(
-            np.asarray(seed_cube, dtype=np.float32),
-            np.asarray(bound, dtype=np.float32),
-            np.asarray(chol, dtype=np.float32),
+            np.asarray(seed_cube, dtype=real_dtype()),
+            np.asarray(bound, dtype=real_dtype()),
+            np.asarray(chol, dtype=real_dtype()),
         )
         try:
             out = engines["current"](key, to_device(packed_in))

@@ -84,6 +84,11 @@ class PolyChordSettings:
     #: backend), "ring", or "pallas" (forced; falls back to scan at build
     #: time if the model cannot lower).
     engine: str = "auto"
+    #: "single" (f32, the TPU-native path) or "highest" (f64 via
+    #: jax_enable_x64 on the scan engine — reference precision,
+    #: utils.F90:6; required when |logL| exceeds ~1e6, see
+    #: ops/precision.py)
+    precision: str = "single"
 
     def __init__(self, nDims: int = 1, nDerived: int = 0, **kwargs):
         # dataclass-style init but with the two positional dims first, the

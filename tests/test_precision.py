@@ -1,0 +1,66 @@
+"""f64 escape hatch (ops/precision.py; VERDICT r3 item 8).
+
+The reference is f64 throughout (utils.F90:6); the TPU engines are f32.
+A likelihood with |logL| ~ 1e7 loses the contour test in the f32
+mantissa (ulp(1e7) = 1): precision="highest" switches the scan engine to
+f64 and must recover the correct evidence; f32 mode must warn.
+"""
+
+import math
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import polychordlite_tpu
+from polychordlite_tpu.priors import UniformPrior
+
+SIGMA = 0.1
+NDIMS = 2
+OFFSET = 1.0e7
+ANALYTIC = OFFSET - NDIMS * math.log(2)
+
+
+def big_like(theta):
+    r2 = jnp.sum(theta**2)
+    norm = -NDIMS * (math.log(SIGMA) + 0.5 * math.log(2 * math.pi))
+    return OFFSET + norm - r2 / (2 * SIGMA**2), [r2]
+
+
+def run_big(tmp_path, **kw):
+    defaults = dict(
+        nDerived=1,
+        prior=UniformPrior(-1, 1),
+        nlive=80,
+        num_repeats=2 * NDIMS,
+        read_resume=False,
+        base_dir=str(tmp_path),
+        file_root="p",
+        seed=2,
+        feedback=0,
+        precision_criterion=0.01,
+    )
+    defaults.update(kw)
+    return polychordlite_tpu.run(big_like, NDIMS, **defaults)
+
+
+class TestPrecision:
+    def test_highest_recovers_big_logL_evidence(self, tmp_path):
+        out = run_big(tmp_path, precision="highest")
+        assert abs(out.logZ - ANALYTIC) < 3 * out.logZerr + 0.2
+
+    def test_f32_mode_warns_on_big_logL(self, tmp_path):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            run_big(tmp_path, file_root="w32", max_ndead=150)
+        assert any("f32 contour" in str(x.message) for x in w)
+
+    def test_x64_state_restored(self, tmp_path):
+        import jax
+
+        run_big(tmp_path, file_root="r", precision="highest", max_ndead=120)
+        assert not jax.config.read("jax_enable_x64")
+        # a subsequent default-precision run still works
+        out = run_big(tmp_path, file_root="r2", max_ndead=120)
+        assert np.isfinite(out.logZ)
