@@ -70,12 +70,24 @@ def _run(name, model_name, n_dims, analytic_logZ, out_list, prior=None, **kwargs
     if prior is not None:
         defaults["prior"] = _box_prior(*prior)
     defaults.update(kwargs)
+    # warm-up with identical shapes: the timed run then measures the
+    # sampler, not XLA compilation (the reference Fortran has no compile
+    # step to pay; executables are reused via the persistent cache)
+    warm = dict(defaults)
+    warm["file_root"] = name + "_warm"
+    warm["max_ndead"] = 300
+    polychordlite_tpu.run(loglikelihood, n_dims, **warm)
     t0 = time.time()
     out = polychordlite_tpu.run(loglikelihood, n_dims, **defaults)
     wall = time.time() - t0
     row = {
         "config": name,
         "n_dims": n_dims,
+        "platform": jax.devices()[0].platform if (jax := __import__("jax")) else "?",
+        "engine": __import__(
+            "polychordlite_tpu.core.nested_sampling", fromlist=["resolve_engine"]
+        ).resolve_engine(defaults.get("engine", "auto"), False),
+        "date": time.strftime("%Y-%m-%d"),
         "nlive": defaults["nlive"],
         "logZ": round(out.logZ, 4),
         "logZerr": round(out.logZerr, 4),
@@ -92,6 +104,17 @@ def _run(name, model_name, n_dims, analytic_logZ, out_list, prior=None, **kwargs
         "dead_per_s": round(out.ndead / wall, 1),
         "evals_per_s": round(out.nlike / wall, 1),
     }
+    # transport/host attribution from the metrics stream (VERDICT r3 item 4)
+    try:
+        recs = [
+            json.loads(line)
+            for line in open(f"/tmp/bench_matrix/{name}.metrics.jsonl")
+        ]
+        host_s = sum(sum(r.get("host_breakdown", {}).values()) for r in recs)
+        row["device_frac"] = recs[-1]["device_frac"]
+        row["host_ms_per_dead"] = round(1e3 * host_s / max(out.ndead, 1), 3)
+    except Exception:
+        pass
     print(json.dumps(row), flush=True)
     out_list.append(row)
     return row
@@ -143,11 +166,17 @@ ROWS = {
         dict(nlive=500, max_ndead=3000, do_clustering=False),
     ),
 }
-FAST = ["quickstart", "gaussian20", "shells", "rastrigin", "eggbox"]
+FAST = ["quickstart", "gaussian20", "shells", "rastrigin", "eggbox", "rosenbrock"]
 
 
 def main():
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     names = sys.argv[1:] or FAST
     platform = jax.devices()[0].platform

@@ -45,3 +45,34 @@ if __name__ == "__main__":
     )
     print(output)
     print("analytic logZ =", -nDims * jnp.log(2.0))
+
+    # Make a posterior plot (reference quickstart.py:62-70; anesthetic when
+    # installed, a matplotlib corner fallback otherwise)
+    try:
+        from anesthetic import make_2d_axes
+
+        fig, ax = make_2d_axes(["p0", "p1", "p2", "p3", "r"])
+        output.plot_2d(ax)
+        fig.savefig("posterior.pdf")
+    except ImportError:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        data = np.loadtxt("chains/gaussian_equal_weights.txt")
+        theta = data[:, 2 : 2 + nDims]
+        fig, axes = plt.subplots(nDims, nDims, figsize=(8, 8))
+        for i in range(nDims):
+            for j in range(nDims):
+                ax = axes[i, j]
+                if i == j:
+                    ax.hist(theta[:, i], bins=30, density=True)
+                elif i > j:
+                    ax.plot(theta[:, j], theta[:, i], ".", ms=1, alpha=0.4)
+                else:
+                    ax.axis("off")
+        fig.tight_layout()
+        fig.savefig("posterior.png", dpi=120)
+        print("wrote posterior.png (install anesthetic for the pdf example)")

@@ -110,3 +110,28 @@ def test_empty_derived_list_stays_traced():
 
     calc = make_batched_calculator(lambda c: c, lik, 3, n_derived=0)
     assert not calc.uses_callback
+
+
+def test_quickstart_notebook_executes(tmp_path, monkeypatch):
+    """The shipped quickstart notebook's code cells run end-to-end (the
+    reference ships quickstart.ipynb; §2.4 parity).  Executed on CPU with a
+    reduced nlive for speed."""
+    import json
+    import os
+
+    nb = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "examples",
+                          "quickstart.ipynb"))
+    )
+    src = "\n".join(
+        "".join(c["source"]) for c in nb["cells"] if c["cell_type"] == "code"
+    )
+    src = src.replace("nlive=200", "nlive=60").replace(
+        'read_resume=False,', 'read_resume=False,\n    max_ndead=400,'
+    )
+    monkeypatch.chdir(tmp_path)
+    exec(compile(src, "quickstart.ipynb", "exec"), {})
+    assert (tmp_path / "chains" / "gaussian.stats").exists()
+    assert (tmp_path / "posterior.png").exists() or (
+        tmp_path / "posterior.pdf"
+    ).exists()
