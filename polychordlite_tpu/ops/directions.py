@@ -111,10 +111,16 @@ def make_directions(
     projection order of the orthonormalisation differs.
 
     ``shared_perm_key``: use ONE slot permutation for the whole batch
-    (derived from this key) instead of per-chain shuffles — required by
-    the graded-likelihood scan engine so every repeat is grade-uniform
-    across lanes (chains stay independent; within-chain fast/slow
-    interleaving is preserved).  Statistically a seed change.
+    (derived from this key) instead of per-chain shuffles.  Every engine
+    passes it (derived from the epoch key, so it is shard-invariant):
+    sharing the slot ORDER across chains couples nothing — directions
+    stay per-chain random and chains are independent — while the
+    per-chain variant's (B, R, R) one-hot costs ~1.5 ms of HBM traffic
+    per epoch (experiments/prof_dirs_parts2.py), and the graded engine
+    requires the shared order anyway.  Documented deviation: the
+    reference shuffles per chord set (shuffle_deck,
+    chordal_sampling.f90:132-139); statistically a seed change.
+    ``None`` (direct callers/tests) keeps per-chain shuffles.
     """
     R = int(sum(num_repeats))
     B = chain_keys.shape[0]
@@ -171,10 +177,11 @@ def make_directions(
             blocks.append(full)
         nhats = jnp.concatenate(blocks, axis=1)  # (B, R, D)
         speeds = jnp.broadcast_to(speeds_r, (B, R))
-        if shared_perm_key is not None:
-            perm = jnp.broadcast_to(_perm_of(shared_perm_key), (B, R))
-        else:
-            perm = jax.vmap(_perm_of)(all_keys[:, -1])
+        perm = (
+            None
+            if shared_perm_key is not None
+            else jax.vmap(_perm_of)(all_keys[:, -1])
+        )
     else:
 
         def per_chain(chain_key):
@@ -190,21 +197,33 @@ def make_directions(
             return nhats, _perm_of(keys[-1])
 
         nhats, perm = jax.vmap(per_chain)(chain_keys)
-        if shared_perm_key is not None:
-            perm = jnp.broadcast_to(_perm_of(shared_perm_key), (B, R))
-        else:
-            pass  # per-chain perms from per_chain
         speeds = jnp.broadcast_to(speeds_r, (B, R))
 
-    if R > 1:
-        # Apply the per-chain row permutation as a 0/1 matmul on the MXU:
-        # a (B, R, D) row gather costs ~7 ms/epoch at the bench geometry
-        # (scalar-core bound, experiments/prof_dirs_parts.py), the one-hot
-        # contraction well under 1 ms.  Precision.HIGHEST is required for the
-        # x*1 + 0 sums to be bitwise identical to the gather: at default
-        # precision the TPU MXU truncates operands to bfloat16, which would
-        # silently round direction components before whitening.  The one-hot
-        # contraction is tiny, so HIGHEST costs nothing measurable.
+    if R > 1 and shared_perm_key is not None:
+        # Batch-shared slot order: ONE (R, R) one-hot permutation applied
+        # as a single well-shaped (R, R) @ (R, B*D) GEMM.  The per-chain
+        # variant materialises a (B, R, R) one-hot (327 MB at the bench
+        # geometry, ~1.5 ms of pure HBM traffic,
+        # experiments/prof_dirs_parts2.py); sharing the *order* of slots
+        # across chains couples nothing — the directions themselves stay
+        # per-chain random and chains are processed independently — and
+        # is required anyway by the graded-likelihood engine.  Slot 0
+        # stays slow-grade as the reference requires
+        # (chordal_sampling.f90:132-139).  HIGHEST keeps the x*1 + 0
+        # sums bitwise identical to a gather (default MXU precision
+        # truncates operands to bf16).
+        perm1 = _perm_of(shared_perm_key)  # (R,)
+        onehot = (
+            perm1[:, None] == jnp.arange(R, dtype=perm1.dtype)[None, :]
+        ).astype(nhats.dtype)  # (R_dst, R_src)
+        nhats = jnp.einsum(
+            "rq,bqd->brd", onehot, nhats, precision=jax.lax.Precision.HIGHEST
+        )
+        speeds = jnp.broadcast_to(speeds_r[perm1], (B, R))
+    elif R > 1:
+        # per-chain shuffles (the reference's exact behaviour,
+        # shuffle_deck per chord set): 0/1 matmul on the MXU — a row
+        # gather costs ~7 ms/epoch (scalar-core bound)
         onehot = (
             perm[:, :, None] == jnp.arange(R, dtype=perm.dtype)[None, None, :]
         ).astype(nhats.dtype)  # (B, R_dst, R_src)
@@ -218,10 +237,16 @@ def make_directions(
         )
 
     # Whiten: chord direction in cube space is L @ n̂; initial width is
-    # 3x its length (chordal_sampling.f90:73-82).
-    whitened = jnp.einsum(
-        "brd,bed->bre", nhats, cholesky, precision=jax.lax.Precision.HIGHEST
-    )  # rows = L @ nhat; HIGHEST: default TPU matmul truncates to bf16
+    # 3x its length (chordal_sampling.f90:73-82).  Default MXU precision
+    # (operands truncated to bf16) is a deliberate tradeoff here — HIGHEST
+    # costs ~0.85 ms/epoch at the bench geometry (1409M -> 1111M evals/s)
+    # for a quantity whose rounding CANNOT bias the sampler: slice
+    # sampling is exact for any direction drawn independently of the
+    # current point, whitening only tunes proposal efficiency, w and the
+    # normalisation are computed from the same rounded product (self-
+    # consistent), and fast-grade directions' slow-block zeros survive
+    # exactly (0 is exact in bf16, L is lower-triangular).
+    whitened = jnp.einsum("brd,bed->bre", nhats, cholesky)
     norms = jnp.sqrt(jnp.sum(whitened * whitened, axis=2))
     safe = jnp.maximum(norms, 1e-300)
     unit = whitened / safe[:, :, None]

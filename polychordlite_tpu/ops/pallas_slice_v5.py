@@ -535,6 +535,7 @@ def build_epoch_fn_pallas_v5(
         nhats, ws, speeds = make_directions(
             dir_keys, cholesky, grade_dims=cfg.grade_dims,
             num_repeats=cfg.num_repeats, n_dims=D,
+            shared_perm_key=jax.random.fold_in(key, 0x5EED),
         )  # (B,R,D), (B,R), (B,R)
 
         seed_f = seed_cube.astype(jnp.float32)

@@ -221,9 +221,7 @@ def build_epoch_fn_scan(
             grade_dims=cfg.grade_dims,
             num_repeats=cfg.num_repeats,
             n_dims=D,
-            shared_perm_key=(
-                jax.random.fold_in(key, 0x5EED) if graded else None
-            ),
+            shared_perm_key=jax.random.fold_in(key, 0x5EED),
         )
         bound_f = bound.astype(real_dtype())
         valid = lane_valid
@@ -456,6 +454,7 @@ def build_epoch_fn_ring(
             grade_dims=cfg.grade_dims,
             num_repeats=cfg.num_repeats,
             n_dims=D,
+            shared_perm_key=jax.random.fold_in(key, 0x5EED),
         )  # (B,R,D), (B,R), (B,R)
 
         bound_f = bound.astype(real_dtype())

@@ -116,8 +116,10 @@ class TestPallasEpoch:
         (cube_p, *_), *_ = run_epoch(calc, "pallas", B=2048, R=8)
         (cube_s, *_), *_ = run_epoch(calc, "scan", B=2048, R=8)
         last_p, last_s = cube_p[:, -1], cube_s[:, -1]
+        # the engines share chords but draw different inner uniforms; at
+        # B=2048 the per-coordinate mean sem is ~0.003, so 0.02 is ~6 sigma
         np.testing.assert_allclose(
-            last_p.mean(axis=0), last_s.mean(axis=0), atol=0.01
+            last_p.mean(axis=0), last_s.mean(axis=0), atol=0.02
         )
         np.testing.assert_allclose(
             last_p.std(axis=0), last_s.std(axis=0), rtol=0.1
