@@ -206,6 +206,35 @@ def make_batched_calculator(
     calc_point_batch.single_logL = single_logL
     calc_point_batch.point_logL = point_logL
 
+    theta_cache = {}
+    if not use_callback:
+
+        def theta_batch_host(cube_np):
+            """theta = prior(cube) with calculate_point's cube-wall rule,
+            evaluated ON THE HOST CPU backend.  Lets the epoch runner drop
+            the theta columns from the device fetch (~40-50% of the
+            nursery payload — the binding cost on tunneled backends,
+            BENCH transport_frac 0.70) and re-derive them here."""
+            import numpy as _np
+
+            cpu = jax.devices("cpu")[0]
+            if "fn" not in theta_cache:
+                def _theta(cube):
+                    inside = jnp.all((cube >= 0.0) & (cube <= 1.0), axis=1)
+                    th = jax.vmap(
+                        lambda c: jnp.asarray(
+                            prior_fn(jnp.clip(c, 0.0, 1.0)),
+                            dtype=real_dtype(),
+                        )
+                    )(cube)
+                    return jnp.where(inside[:, None], th, 0.0)
+
+                theta_cache["fn"] = jax.jit(_theta)
+            with jax.default_device(cpu):
+                return _np.asarray(theta_cache["fn"](jnp.asarray(cube_np)))
+
+        calc_point_batch.theta_batch_host = theta_batch_host
+
     # --- decomposed fast/slow support (models/graded.py) -------------------
     from ..models.graded import GradedLikelihood
 

@@ -84,6 +84,18 @@ def make_epoch_runner(
         pad[:, :, -1] = 0.0  # invalid lanes: DONE at init, dropped on unpack
         return np.concatenate([shards, pad], axis=1).reshape(n_dev * rows_phys, ncols)
 
+    # Compact fetch: theta = prior(cube) is deterministic, so the theta
+    # columns of every baby record are dropped ON DEVICE before the fetch
+    # (~40-50 % of the nursery payload — the binding cost on tunneled
+    # backends, BENCH transport_frac 0.70) and re-derived on the host CPU
+    # by calc.theta_batch_host with identical cube-wall semantics.
+    # Host-callback models keep the full fetch (their prior may not be
+    # traceable, and they run CPU-side anyway).
+    stride = 2 * D + cfg.n_phi + 1
+    R_tot = cfg.total_repeats
+    tail = len(cfg.grade_dims) + 1  # per-grade nlike + overflow flag
+    compact = getattr(calc, "theta_batch_host", None) is not None
+
     def compile_engine(epoch_fn):
         def wrapped(key, packed_in):
             seed_cube = packed_in[:, :D]
@@ -94,7 +106,14 @@ def make_epoch_runner(
             # drop the engine's padding lanes ON DEVICE: the host fetch (the
             # expensive hop on tunneled backends) moves only the logical
             # nursery.  Inside shard_map this slices each shard's local rows.
-            return out[:rows_log]
+            out = out[:rows_log]
+            if compact:
+                rec = out[:, : R_tot * stride].reshape(-1, R_tot, stride)
+                rec = jnp.concatenate(
+                    [rec[:, :, :D], rec[:, :, 2 * D :]], axis=2
+                ).reshape(out.shape[0], R_tot * (stride - D))
+                out = jnp.concatenate([rec, out[:, R_tot * stride :]], axis=1)
+            return out
 
         if n_dev == 1:
             return jax.jit(wrapped)
@@ -183,6 +202,28 @@ def make_epoch_runner(
             out = engines["current"](key, to_device(packed_in))
         return (key, packed_in, out)
 
+    def expand(packed_out):
+        """Re-insert the theta columns dropped by the compact fetch."""
+        if not compact:
+            return packed_out
+        n = packed_out.shape[0]
+        crec = packed_out[:, : R_tot * (stride - D)].reshape(
+            n, R_tot, stride - D
+        )
+        cube = crec[:, :, :D]
+        theta = calc.theta_batch_host(
+            cube.reshape(-1, D)
+        ).reshape(n, R_tot, D)
+        full = np.empty((n, R_tot, stride), dtype=packed_out.dtype)
+        full[:, :, :D] = cube
+        full[:, :, D : 2 * D] = theta
+        full[:, :, 2 * D :] = crec[:, :, D:]
+        return np.concatenate(
+            [full.reshape(n, R_tot * stride),
+             packed_out[:, R_tot * (stride - D) :]],
+            axis=1,
+        )
+
     def collect(handle):
         """Block on a dispatched epoch and unpack its nursery."""
         key, packed_in, out = handle
@@ -197,7 +238,7 @@ def make_epoch_runner(
             # a pathological epoch exhausted the ring: re-run it with the
             # scan engine (bitwise-identical results, no slot budget)
             packed_out = fetch(scan_fallback()(key, to_device(packed_in)))
-        return unpack_epoch(packed_out, cfg)
+        return unpack_epoch(expand(packed_out), cfg)
 
     def run(key, seed_cube, bound, chol):
         return collect(dispatch(key, seed_cube, bound, chol))
