@@ -87,6 +87,15 @@ def resolve_engine(
     scan engine — it is the one carrying the slow-part cache.
     """
     if graded:
+        if engine not in ("auto", "scan"):
+            import warnings
+
+            warnings.warn(
+                f"engine={engine!r} is ignored for decomposed fast/slow "
+                f"(GradedLikelihood) runs: only the scan engine carries "
+                f"the slow-part cache. Running engine='scan'.",
+                stacklevel=2,
+            )
         return "scan"
     if engine != "auto":
         return engine
@@ -194,6 +203,18 @@ def nested_sampling(
     calc = make_batched_calculator(
         prior, loglikelihood, s.nDims, s.nDerived, s.logzero
     )
+    if (
+        getattr(calc, "graded", False)
+        and len(s.grade_dims) > 1
+        and int(s.grade_dims[0]) != int(calc.n_slow)
+    ):
+        # fast-grade chords must only move fast parameters: a mismatch means
+        # a fast probe could perturb a slow coordinate while the cached slow
+        # intermediate stays stale, silently corrupting logL and logZ
+        raise ValueError(
+            f"GradedLikelihood with n_slow={calc.n_slow} requires "
+            f"grade_dims[0] == n_slow, got grade_dims={list(s.grade_dims)}"
+        )
     # axon TPU does not support host callbacks; run callback-path epochs on
     # the CPU backend (the likelihood dominates there by construction).
     device_ctx = None

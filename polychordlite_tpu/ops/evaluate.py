@@ -217,7 +217,11 @@ def make_batched_calculator(
             BENCH transport_frac 0.70) and re-derive them here."""
             import numpy as _np
 
-            cpu = jax.devices("cpu")[0]
+            # MUST be a process-local device: under jax.distributed,
+            # jax.devices() is the global list and process != 0 would grab
+            # a non-addressable device ("Fetching value for `jax.Array`
+            # that spans non-addressable devices").
+            cpu = jax.local_devices(backend="cpu")[0]
             if "fn" not in theta_cache:
                 def _theta(cube):
                     inside = jnp.all((cube >= 0.0) & (cube <= 1.0), axis=1)

@@ -93,7 +93,15 @@ class TestGradedLikelihood:
         from polychordlite_tpu.core.nested_sampling import resolve_engine
 
         assert resolve_engine("auto", False, graded=True) == "scan"
-        assert resolve_engine("pallas", False, graded=True) == "scan"
+        # a forced non-scan engine is overridden loudly, not silently
+        with pytest.warns(UserWarning, match="scan"):
+            assert resolve_engine("pallas", False, graded=True) == "scan"
+
+    def test_grade_dims_must_match_n_slow(self, tmp_path):
+        """grade_dims[0] != n_slow would let fast chords move a slow
+        parameter against a stale cached intermediate — rejected at setup."""
+        with pytest.raises(ValueError, match="n_slow"):
+            run_graded(tmp_path, grade_dims=[1, 3], grade_frac=[0.25, 0.75])
 
     def test_time_speeds_measures_real_ratio(self):
         from polychordlite_tpu.core.generate import time_speeds
