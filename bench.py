@@ -221,6 +221,8 @@ def quickstart_accuracy():
         dev_s = last["device_frac"] * last["t"]
         extras["host_ms_per_dead"] = round(1e3 * host_s / max(out.ndead, 1), 3)
         extras["device_frac"] = last["device_frac"]
+        if "engine" in last:  # which engine actually executed (no silent demotion)
+            extras["quickstart_engine"] = last["engine"]
         extras["transport_frac"] = round(
             max(0.0, (last["t"] - dev_s - host_s) / last["t"]), 4
         )

@@ -347,7 +347,8 @@ def nested_sampling(
         )
         _feedback(
             s, 1,
-            f"chain batch {B} over {n_dev} device(s), engine {engine}",
+            f"chain batch {B} over {n_dev} device(s), engine "
+            f"{run_epoch.engine_used()}",
         )
 
         from ..parallel.distributed import is_root as _is_root
@@ -523,6 +524,7 @@ def nested_sampling(
                             logZ=logZ,
                             varlogZ=varlogZ,
                             nlike=int(rti.nlike.sum()),
+                            engine=run_epoch.engine_used(),
                         )
                         frac = math.exp(
                             min(live_logZ(rti) - rti.logZ, 700.0)
@@ -609,6 +611,7 @@ def nested_sampling(
             logZ=logZ,
             varlogZ=varlogZ,
             nlike=int(rti.nlike.sum()),
+            engine=run_epoch.engine_used(),
         )
         return {
             "logZ": float(logZ),
@@ -616,7 +619,10 @@ def nested_sampling(
             "ndead": int(rti.ndead),
             "nlike": int(rti.nlike[0]),
             "nlike_per_grade": rti.nlike.copy(),
-            "metrics": metrics.summary(ndead=rti.ndead, nlike=int(rti.nlike.sum())),
+            "metrics": {
+                **metrics.summary(ndead=rti.ndead, nlike=int(rti.nlike.sum())),
+                "engine_used": run_epoch.engine_used(),
+            },
             "rti": rti,
         }
     finally:

