@@ -148,6 +148,7 @@ def run(loglikelihood, nDims: int, **kwargs):
             logZerr=result["logZerr"],
             ndead=result["ndead"],
             nlike=result["nlike"],
+            metrics=result["metrics"],
         )
 
     try:

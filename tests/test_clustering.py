@@ -92,3 +92,80 @@ class TestDoClustering:
         for c in rti.live:
             side = c[:, 0] > 0.5
             assert side.all() or (~side).all()
+
+
+class TestReferenceOracleParity:
+    """Partition-identity against a direct transliteration of the reference
+    algorithm (tests/clustering_oracle.py; clustering.f90:15-188) — the
+    production vectorised implementation must produce IDENTICAL partitions
+    (VERDICT r4 item 5)."""
+
+    def _check(self, sim):
+        from clustering_oracle import (
+            nn_clustering as oracle,
+            partition_key,
+        )
+
+        lab_o, num_o = oracle(sim.copy())
+        lab_p = nn_clustering(sim.copy())
+        assert partition_key(lab_o) == partition_key(lab_p), (
+            f"oracle found {num_o} clusters, production "
+            f"{lab_p.max() + 1}, partitions differ"
+        )
+
+    def test_synthetic_geometries(self):
+        rng = np.random.default_rng(0)
+        cases = []
+        a = rng.normal([0.2, 0.2], 0.03, (40, 2))
+        b = rng.normal([0.8, 0.8], 0.03, (40, 2))
+        cases.append(np.vstack([a, b]))
+        cases.append(rng.normal(0.5, 0.1, (60, 2)))  # single blob
+        th = rng.uniform(0, 2 * np.pi, 50)
+        s1 = np.c_[0.25 + 0.12 * np.cos(th), 0.5 + 0.12 * np.sin(th)]
+        th2 = rng.uniform(0, 2 * np.pi, 50)
+        s2 = np.c_[0.75 + 0.12 * np.cos(th2), 0.5 + 0.12 * np.sin(th2)]
+        cases.append(
+            np.vstack([s1, s2]) + rng.normal(0, 0.004, (100, 2))
+        )  # thin shells
+        cases.append(rng.uniform(0, 1, (80, 3)))  # ambiguous scatter
+        t = rng.uniform(0, 1, 60)
+        cases.append(np.c_[t, 0.5 + 0.01 * rng.normal(size=60)])  # filament
+        for data in cases:
+            self._check(similarity_matrix_np(data))
+
+    def test_live_point_snapshots(self):
+        """Saved snapshots from real gaussian_shells / eggbox runs
+        (experiments/make_clustering_snapshots.py)."""
+        import glob
+        import os
+
+        paths = sorted(
+            glob.glob(
+                os.path.join(
+                    os.path.dirname(__file__),
+                    "data",
+                    "clustering_snapshot_*.npy",
+                )
+            )
+        )
+        assert len(paths) >= 4, "snapshot files missing"
+        for p in paths:
+            self._check(np.load(p))
+
+    def test_random_stress(self):
+        """Random mixtures with varying separation/size — the regime where
+        tie-breaking and iteration-order bugs would show up."""
+        for seed in range(12):
+            rng = np.random.default_rng(100 + seed)
+            ncl = rng.integers(1, 5)
+            pts = np.vstack(
+                [
+                    rng.normal(
+                        rng.uniform(0, 1, 2),
+                        rng.uniform(0.02, 0.12),
+                        (int(rng.integers(8, 30)), 2),
+                    )
+                    for _ in range(ncl)
+                ]
+            )
+            self._check(similarity_matrix_np(pts))
