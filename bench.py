@@ -207,7 +207,14 @@ def quickstart_accuracy():
         "logZ_err_vs_analytic": round(abs(out.logZ - analytic), 4),
         "logZ_sigma": round(out.logZerr, 4),
         "quickstart_seconds": round(dt, 1),
+        # bench pins these (results_tpu.json rows use run() defaults — the
+        # source of the r4 1468-vs-860 dead/s spread, VERDICT item 4)
+        "quickstart_settings": {
+            "nlive": 200, "batch_size": 192, "write_resume": False,
+            "synchronous": True,
+        },
     }
+
     # transport attribution (VERDICT r3 item 7): how much of the quickstart
     # wall is device epochs vs host administration vs everything else
     # (dispatch/fetch transport + retracing) — from the metrics stream
@@ -223,6 +230,8 @@ def quickstart_accuracy():
         extras["device_frac"] = last["device_frac"]
         if "engine" in last:  # which engine actually executed (no silent demotion)
             extras["quickstart_engine"] = last["engine"]
+        if "epoch_timers" in last:
+            extras["epoch_timers"] = last["epoch_timers"]
         extras["transport_frac"] = round(
             max(0.0, (last["t"] - dev_s - host_s) / last["t"]), 4
         )

@@ -211,6 +211,43 @@ class RunTimeInfo:
             else np.zeros((0, self.settings.nTotal))
         )
 
+    def snapshot(self) -> "RunTimeInfo":
+        """Cheap point-in-time copy for the write-behind file products
+        (utils/writebehind.py).  ``copy.deepcopy`` walks every dead-point
+        row (O(ndead) python objects) and late in a long run the deepcopy
+        on the critical path approaches the formatting cost the write-behind
+        thread was added to remove (ADVICE r4).  Policy by field type:
+
+        * append-only row lists (``dead``, ``logweights``, ``*_dead``):
+          shallow list copy — rows are immutable after append (every
+          appender stores a fresh array; delete_outermost copies, DOA
+          babies are copied at append);
+        * RowStore: memcpy of the live rows (``replace``/``clear`` mutate
+          rows in place, so buffer sharing would race the admin thread);
+        * numpy arrays: ``.copy()``;
+        * settings (immutable after finalise), scalars, the host RNG
+          reference (the caller snapshots it separately): shared.
+        """
+        snap = RunTimeInfo.__new__(RunTimeInfo)
+        for name, val in vars(self).items():
+            if name == "settings" or name == "_rng":
+                out = val
+            elif isinstance(val, RowStore):
+                out = RowStore(val.ncols, data=val.copy_array())
+            elif isinstance(val, np.ndarray):
+                out = val.copy()
+            elif isinstance(val, list):
+                if val and isinstance(val[0], RowStore):
+                    out = [RowStore(r.ncols, data=r.copy_array()) for r in val]
+                elif val and isinstance(val[0], np.ndarray) and name == "live":
+                    out = [a.copy() for a in val]
+                else:
+                    out = list(val)  # shallow: append-only immutable rows
+            else:
+                out = val  # scalars / None
+            setattr(snap, name, out)
+        return snap
+
 
 # ----------------------------------------------------------------------
 # Evidence recurrences
@@ -539,8 +576,9 @@ def replace_point(
                 find_min_loglikelihoods(rti)
     else:
         # dead on arrival: recorded with zero weight
-        # (run_time_info.f90:781-785)
-        rti.dead.append(pt)
+        # (run_time_info.f90:781-785); copy so the record does not pin the
+        # epoch's whole babies buffer and stays immutable (snapshot contract)
+        rti.dead.append(pt.copy())
         rti.ndead += 1
         rti.logweights.append(s.logzero)
     return replaced

@@ -75,16 +75,18 @@ VMEM_BUDGET = 13 * 2**20   # leave headroom in ~16 MB of VMEM
 RES_OUT_MAX = 5 * 2**20 // 2  # resident-output block cap (x2 buffered)
 
 
-def _pick_sc(S: int, D: int, R: int) -> int:
+def _pick_sc(S: int, D: int, R: int, ring_slots: int = W) -> int:
     """Largest chunk height (sublane rows) within the VMEM budget.
 
     The output accounting must mirror ``epoch()``'s layout choice exactly:
     outputs are resident (a double-buffered ``(R, 3, SC, LANE)`` VMEM block)
-    iff ``R*3*row <= RES_OUT_MAX``, else a W-slot scratch ring (single
-    buffered) with the full array in HBM.  Budgeting ``min()`` of the two
-    regardless of which one ``epoch()`` picks can undercount by several MB
-    and push the Mosaic compile over VMEM, silently demoting the run to the
-    scan engine.
+    iff ``R*3*row <= RES_OUT_MAX``, else a ring_slots-slot scratch ring
+    (single buffered) with the full array in HBM.  Budgeting ``min()`` of
+    the two regardless of which one ``epoch()`` picks can undercount by
+    several MB and push the Mosaic compile over VMEM, silently demoting the
+    run to the scan engine.  ``ring_slots`` parameterises the direction-ring
+    width so callers with a wider ring (the v5 kernel: W=8) budget their own
+    layout instead of v4's (ADVICE r4).
     """
     for sc in (64, 32, 16, 8):
         if S % sc:
@@ -93,10 +95,10 @@ def _pick_sc(S: int, D: int, R: int) -> int:
         res_out_bytes = R * 3 * row
         if res_out_bytes <= RES_OUT_MAX:  # epoch() picks the resident block
             out_bytes = 2 * res_out_bytes  # double-buffered pipeline block
-        else:  # epoch() picks the W-slot ring (scratch: single-buffered)
-            out_bytes = W * 3 * row
+        else:  # epoch() picks the slot ring (scratch: single-buffered)
+            out_bytes = ring_slots * 3 * row
         bytes_ = (
-            W * (D + 1) * row          # direction ring
+            ring_slots * (D + 1) * row  # direction ring
             + 2 * D * row              # x0 + cur_nhat scratch
             + 16 * row                 # per-lane state refs
             + 2 * D * row              # x0_in (double-buffered)

@@ -524,7 +524,7 @@ def build_epoch_fn_pallas_v5(
                 f"pallas engine needs B % {8 * LANE} == 0, got {B}"
             )
         S = B // LANE
-        SC = _pick_sc(S, D, R)
+        SC = _pick_sc(S, D, R, ring_slots=W)  # v5's 8-slot ring
         n_chunks = S // SC
         res_out = resident or (R * 3 * SC * LANE * 4 <= RES_OUT_MAX)
 

@@ -138,6 +138,13 @@ def make_epoch_runner(
             )
         )
 
+    import time as _time
+
+    # cumulative epoch-phase timers (seconds) — surfaced via run.timers for
+    # the run summary / bench transport attribution (VERDICT r4 item 4)
+    timers = {"pack": 0.0, "enqueue": 0.0, "fetch": 0.0, "expand": 0.0,
+              "unpack": 0.0}
+
     # current engine + lazily compiled scan fallback.  "name" tracks which
     # engine is actually executing — every demotion is recorded here and
     # warned about (VERDICT r4 weak-3: no silent demotion anywhere).
@@ -209,11 +216,14 @@ def make_epoch_runner(
         dispatch) — the host consumes the previous nursery while the device
         computes, the reference's async administrator/worker overlap
         (nested_sampling.F90:288-313)."""
+        t0 = _time.time()
         packed_in = pack_inputs(
             np.asarray(seed_cube, dtype=real_dtype()),
             np.asarray(bound, dtype=real_dtype()),
             np.asarray(chol, dtype=real_dtype()),
         )
+        timers["pack"] += _time.time() - t0
+        t0 = _time.time()
         try:
             out = engines["current"](key, to_device(packed_in))
         except Exception as e:
@@ -223,6 +233,7 @@ def make_epoch_runner(
             # backend: permanently fall back to the scan engine (loudly)
             engines["current"] = _demote("dispatch", e)
             out = engines["current"](key, to_device(packed_in))
+        timers["enqueue"] += _time.time() - t0
         return (key, packed_in, out)
 
     def expand(packed_out):
@@ -250,6 +261,7 @@ def make_epoch_runner(
     def collect(handle):
         """Block on a dispatched epoch and unpack its nursery."""
         key, packed_in, out = handle
+        t0 = _time.time()
         try:
             packed_out = fetch(out)
         except Exception as e:
@@ -264,7 +276,14 @@ def make_epoch_runner(
             # so the run summary can report it.
             engines["ring_reruns"] += 1
             packed_out = fetch(scan_fallback()(key, to_device(packed_in)))
-        return unpack_epoch(expand(packed_out), cfg)
+        timers["fetch"] += _time.time() - t0
+        t0 = _time.time()
+        expanded = expand(packed_out)
+        timers["expand"] += _time.time() - t0
+        t0 = _time.time()
+        res = unpack_epoch(expanded, cfg)
+        timers["unpack"] += _time.time() - t0
+        return res
 
     def run(key, seed_cube, bound, chol):
         return collect(dispatch(key, seed_cube, bound, chol))
@@ -272,6 +291,7 @@ def make_epoch_runner(
     run.dispatch = dispatch
     run.collect = collect
     run.engine_used = lambda: engines["name"]
+    run.timers = timers
     run.ring_reruns = lambda: engines["ring_reruns"]
     run._engines = engines  # test hook (forced-failure demotion tests)
     return run, B

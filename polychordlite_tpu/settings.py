@@ -222,29 +222,29 @@ class PolyChordSettings:
     def resolved_batch_size(self) -> int:
         """Chain-batch width B per device epoch.
 
-        Synchronous default B = nlive: one volume e-fold of deletions per
-        epoch, the largest batch that keeps nursery staleness (and hence
-        the dead-on-arrival fraction) modest.  Measured on the tunneled
-        TPU (4-D quickstart, nlive=200): B=nlive/4 gives 21 dead/s
-        (latency bound), B=nlive 481 dead/s at 0.7 sigma accuracy;
+        Default B = nlive in both modes: one volume e-fold of deletions
+        per epoch, the largest batch that keeps nursery staleness (and
+        hence the dead-on-arrival fraction) modest.  Measured on the
+        tunneled TPU (4-D quickstart, nlive=200): B=nlive/4 gives 21
+        dead/s (latency bound), B=nlive 481 dead/s at 0.7 sigma accuracy;
         B=5*nlive is faster still but biases logZ by >2 sigma — staleness
         outruns the slice chains' mixing.
 
-        Asynchronous (dispatch-ahead) default B = nlive/4: with a second
-        nursery in flight, babies are up to TWO nurseries stale, and
-        B=nlive would mean ~2 volume e-folds between a seed's draw and its
-        baby's insertion — the finite-repeat slice chain's residual seed
-        correlation then biases logZ high (32-seed calibration,
-        benchmarks/calibration_study.json: async B=nlive mean pull +0.48,
-        ~3 sigma significant; async B=nlive/4: +0.037, sigma 0.985).  A
-        user-forced larger async B warns at run start
+        Calibration (64 seeds/config, run 2026-08-21 on the current
+        sampler, benchmarks/calibration_study.json): synchronous mode is
+        unbiased at both widths (mean pull −0.009 ± 0.141 at B=nlive,
+        +0.036 ± 0.135 at B=nlive/4); asynchronous (dispatch-ahead) mode
+        carries a small WIDTH-INDEPENDENT positive bias (+0.246 ± 0.110
+        at B=nlive, +0.324 ± 0.115 at B=nlive/4; logZ bias +0.04 to
+        +0.06 ≈ 0.3 sigma of a single run's error bar) from babies up to
+        two nurseries stale.  An earlier study's B=nlive/4 async fence is
+        therefore removed — shrinking B does not reduce the async bias,
+        it only costs throughput.  Async runs warn once at start
         (core/nested_sampling.py)."""
         if self.batch_size > 0:
             b = self.batch_size
-        elif self.synchronous:
-            b = max(32, self.nlive)
         else:
-            b = max(32, self.nlive // 4)
+            b = max(32, self.nlive)
         return -(-b // 8) * 8  # round up to a multiple of 8 (VPU sublanes)
 
 

@@ -78,7 +78,7 @@ class RunMetrics:
             )
 
     def record(self, *, ndead, nlive, ncluster, logZ, varlogZ, nlike,
-               engine=None):
+               engine=None, extra=None):
         now = time.time()
         dt = max(now - self._last_t, 1e-12)
         wall = max(now - self.t_start, 1e-12)
@@ -103,6 +103,8 @@ class RunMetrics:
             # which engine actually executed the epochs since the last
             # record — a demotion mid-run shows up here (VERDICT r4 weak-3)
             rec["engine"] = engine
+        if extra:
+            rec.update(extra)
         self._phase_last = dict(self._phase_tot)
         self._last_t = now
         self._last_nlike = int(nlike)

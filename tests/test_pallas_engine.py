@@ -206,7 +206,7 @@ class TestSpeculativeV5:
             build_epoch_fn_pallas_v5,
         )
 
-        B, R = 1024, 5
+        B, R = 1024, 5  # minimum B: whole (8, 128) tiles
         cfg = EpochConfig(
             n_dims=D, n_phi=1, grade_dims=(D,), num_repeats=(R,),
             engine="pallas", max_step=max_step, max_shrink=max_shrink,
@@ -252,3 +252,47 @@ class TestSpeculativeV5:
         )
         fn = build_epoch_fn(calc, cfg)
         assert "pallas_slice_v4" in fn.__module__
+
+
+class TestV5Smoke:
+    """Fast-lane v5 coverage (VERDICT r4 item 8): the shipping
+    engine='pallas5' surface builds and replays v4 decision-exactly on a
+    small typical-contour epoch; the full edge-case sweep stays in the
+    slow lane (TestSpeculativeV5)."""
+
+    def test_small_decision_exact(self, calc):
+        from polychordlite_tpu.ops.pallas_slice_v4 import (
+            build_epoch_fn_pallas_v4,
+        )
+        from polychordlite_tpu.ops.pallas_slice_v5 import (
+            build_epoch_fn_pallas_v5,
+        )
+
+        B, R = 1024, 2  # minimum B: whole (8, 128) tiles; R=2 keeps it fast
+        cfg = EpochConfig(
+            n_dims=D, n_phi=1, grade_dims=(D,), num_repeats=(R,),
+            engine="pallas",
+        )
+        key = jax.random.PRNGKey(4)
+        seeds = 0.5 + 0.05 * jax.random.normal(key, (B, D))
+        r0 = 1.5 * SIGMA * math.sqrt(D)
+        bound = jnp.full((B,), NORM - 0.5 * (r0 / SIGMA) ** 2, jnp.float32)
+        chol = jnp.broadcast_to(
+            SIGMA * jnp.eye(D, dtype=jnp.float32), (B, D, D)
+        )
+        valid = jnp.ones((B,), bool)
+        p4 = np.asarray(
+            jax.jit(build_epoch_fn_pallas_v4(calc, cfg))(
+                key, seeds, bound, chol, valid
+            )
+        )
+        p5 = np.asarray(
+            jax.jit(build_epoch_fn_pallas_v5(calc, cfg))(
+                key, seeds, bound, chol, valid
+            )
+        )
+        stride = 2 * D + 1 + 1
+        r4 = p4[:, : R * stride].reshape(B, R, stride)
+        r5 = p5[:, : R * stride].reshape(B, R, stride)
+        assert np.array_equal(r4[:, :, :-1], r5[:, :, :-1])
+        assert np.array_equal(p4[:, R * stride:], p5[:, R * stride:])

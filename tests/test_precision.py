@@ -64,3 +64,36 @@ class TestPrecision:
         # a subsequent default-precision run still works
         out = run_big(tmp_path, file_root="r2", max_ndead=120)
         assert np.isfinite(out.logZ)
+
+    def test_concurrent_mixed_precision_threads(self, tmp_path):
+        """The x64 scope is THREAD-LOCAL (VERDICT r4 weak-8): a
+        highest-precision run and a default-precision run execute
+        concurrently on separate threads of one process, both correct."""
+        import threading
+
+        results = {}
+        errors = []
+
+        def worker(name, **kw):
+            try:
+                results[name] = run_big(tmp_path / name, **kw)
+            except Exception as e:  # surface in the main thread
+                errors.append((name, e))
+
+        t64 = threading.Thread(
+            target=worker, args=("hi",), kwargs=dict(precision="highest")
+        )
+        t32 = threading.Thread(target=worker, args=("lo",), kwargs={})
+        t64.start()
+        t32.start()
+        t64.join()
+        t32.join()
+        assert not errors, errors
+        # the f64 run recovers the analytic evidence despite |logL| ~ 1e7
+        out64 = results["hi"]
+        assert abs(out64.logZ - ANALYTIC) < 3 * out64.logZerr + 0.2
+        # the f32 run completed and was NOT flipped to x64 mid-run
+        assert np.isfinite(results["lo"].logZ)
+        import jax
+
+        assert not jax.config.read("jax_enable_x64")

@@ -164,6 +164,42 @@ class TestMaximiser:
         assert near0, nums
 
 
+    def test_posterior_mode_dispatch_batching(self):
+        """Posterior-mode evaluations fuse the point and all its Jacobian
+        probes into ONE device call; the whole simplex is one call too
+        (maximiser.F90:33-87 analogue of the batched likelihood mode)."""
+        import jax.numpy as jnp
+
+        from polychordlite_tpu.core.maximiser import _logP_batch
+        from polychordlite_tpu.ops.evaluate import make_batched_calculator
+        from polychordlite_tpu.priors import UniformPrior
+        from polychordlite_tpu.settings import PolyChordSettings
+
+        prior = UniformPrior(-2.0, 2.0)
+
+        def like(theta):
+            return -jnp.sum(theta**2) * 5.0
+
+        calls = {"n": 0}
+        calc0 = make_batched_calculator(prior, like, 4, 0)
+
+        def counting(cube):
+            calls["n"] += 1
+            return calc0(cube)
+
+        counting.n_phi = calc0.n_phi
+        s = PolyChordSettings(4, 0).finalise()
+        cubes = np.full((5, 4), 0.5) + 0.01 * np.arange(20).reshape(5, 4)
+        logP, pts, dX = _logP_batch(counting, s, cubes)
+        assert calls["n"] == 1, "simplex + Jacobians must be a single dispatch"
+        assert logP.shape == (5,) and dX.shape == (5,)
+        # Jacobian of UniformPrior(-2,2) is 4 per coord -> logdet = 4*log 4
+        assert np.allclose(-dX, 4 * math.log(4.0), atol=2e-2)
+        # logP = logL - logdet
+        assert np.allclose(logP, pts[:, s.l0] - 4 * math.log(4.0), atol=2e-2)
+
+
+
 class TestSeedDeterminism:
     @pytest.mark.parametrize("seed", [1, 2])
     def test_same_seed_identical(self, tmp_path, seed):
@@ -343,30 +379,39 @@ class TestEngineDefault:
 
 
 class TestAsyncStaleness:
-    """Dispatch-ahead (asynchronous) mode is fenced against the measured
-    staleness bias: 32-seed calibration (benchmarks/calibration_study.json)
-    shows async B=nlive pulls logZ high by +0.48 sigma, while async
-    B=nlive/4 is clean (+0.037, sigma 0.985)."""
+    """Dispatch-ahead (asynchronous) mode carries a small measured logZ
+    bias at ANY width (64-seed calibration,
+    benchmarks/calibration_study.json: async +0.25 to +0.32 pull,
+    width-independent; sync unbiased) — async warns once at run start and
+    uses the same B=nlive default as sync (the old nlive/4 fence did not
+    reduce the bias and is removed)."""
 
-    def test_async_default_batch_is_quarter_nlive(self):
+    def test_batch_default_is_nlive_in_both_modes(self):
         from polychordlite_tpu.settings import PolyChordSettings
 
         s = PolyChordSettings(4, 0, nlive=200, synchronous=False)
-        assert s.resolved_batch_size() == 56  # 200//4 rounded up to 8
+        assert s.resolved_batch_size() == 200
         s_sync = PolyChordSettings(4, 0, nlive=200, synchronous=True)
         assert s_sync.resolved_batch_size() == 200
 
-    def test_async_oversized_batch_warns(self, tmp_path):
+    def test_async_warns_about_bias(self, tmp_path):
         import warnings
 
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             run_small(
-                tmp_path, file_root="aw", synchronous=False,
-                batch_size=200, max_ndead=120,
+                tmp_path, file_root="aw", synchronous=False, max_ndead=120,
             )
-        assert any("biased high" in str(x.message) for x in w)
+        assert any("biases logZ high" in str(x.message) for x in w)
+
+    def test_sync_does_not_warn_about_bias(self, tmp_path):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            run_small(tmp_path, file_root="sw", max_ndead=120)
+        assert not any("biases logZ high" in str(x.message) for x in w)
 
     def test_async_default_run_accurate(self, tmp_path):
         out = run_small(tmp_path, file_root="ad", synchronous=False)
-        assert abs(out.logZ - ANALYTIC_LOGZ) < 3 * out.logZerr + 0.1
+        assert abs(out.logZ - ANALYTIC_LOGZ) < 3 * out.logZerr + 0.15
