@@ -36,18 +36,22 @@ N_SEEDS = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 
 ANALYTIC = -4 * math.log(2)
 
+# (name, synchronous, batch_size, chain_epochs); chain_epochs=1 is the
+# per-epoch dispatch path, -1 auto-engages the chained ("turbo") path on a
+# single-device backend — the shipped default there
 CONFIGS = [
-    ("async_B=nlive", False, 200),
-    ("sync_B=nlive", True, 200),
-    ("sync_B=nlive/4", True, 56),
-    ("async_B=nlive/4", False, 56),
+    ("async_B=nlive", False, 200, 1),
+    ("sync_B=nlive", True, 200, 1),
+    ("sync_B=nlive/4", True, 56, 1),
+    ("async_B=nlive/4", False, 56, 1),
+    ("sync_turbo_B=nlive", True, 200, -1),
 ]
 
 JSONL = os.path.join(REPO, "benchmarks", "calibration_study.jsonl")
 OUT = os.path.join(REPO, "benchmarks", "calibration_study.json")
 
 
-def run_one(seed, sync, bs):
+def run_one(seed, sync, bs, chain_epochs=1):
     import jax.numpy as jnp
 
     import polychordlite_tpu
@@ -65,8 +69,9 @@ def run_one(seed, sync, bs):
         read_resume=False, write_resume=False, posteriors=False, equals=False,
         write_live=False, write_dead=False, write_stats=False,
         write_prior=False,
-        base_dir="/tmp/calib_%d_%d_%d" % (seed, sync, bs),
+        base_dir="/tmp/calib_%d_%d_%d_%d" % (seed, sync, bs, chain_epochs),
         seed=seed, feedback=-1, synchronous=sync, batch_size=bs,
+        chain_epochs=chain_epochs,
     )
     return {
         "logZ": out.logZ,
@@ -107,15 +112,15 @@ def main():
             done.add((r["config"], r["seed"]))
 
     t_start = time.time()
-    for name, sync, bs in CONFIGS:
+    for name, sync, bs, ce in CONFIGS:
         for i in range(N_SEEDS):
             seed = i + 1
             if (name, seed) in done:
                 continue
             row = {"config": name, "seed": seed, "synchronous": sync,
-                   "batch_size": bs}
+                   "batch_size": bs, "chain_epochs": ce}
             try:
-                row.update(run_one(seed, sync, bs))
+                row.update(run_one(seed, sync, bs, ce))
                 row["failed"] = False
             except Exception as e:
                 row["failed"] = True

@@ -413,17 +413,99 @@ def nested_sampling(
             handle = run_epoch.dispatch(epoch_key, seeds[:, s.h], bound, chol)
             return handle, bound, np.asarray(cluster_ids), rti.epoch
 
-        pending = _dispatch() if running else None
+        # --- chained epochs ("turbo", ops/chained_epoch.py) ---------------
+        # K epochs + the live-set consume loop in ONE device dispatch: the
+        # round-trip-latency cure for synchronous runs (epoch_timers show
+        # enqueue latency is ~80% of quickstart wall on the tunnel).  The
+        # host replays every decision through the ordinary bookkeeping and
+        # verifies its live set against the device's final state.
+        from collections import deque
+
+        nursery_queue = deque()
+        turbo_K = int(getattr(s, "chain_epochs", -1))
+        if turbo_K < 0:
+            turbo_K = 8 if (
+                s.synchronous
+                and not calc.uses_callback
+                and not getattr(calc, "graded", False)
+                and n_dev == 1
+                and engine != "ring"
+                and getattr(calc, "theta_batch_host", None) is not None
+            ) else 0
+        turbo = {"enabled": turbo_K > 1, "K": turbo_K, "verify": None,
+                 "state": None}  # device-resident (cube, logL) handoff
+
+        def _turbo_ok():
+            return (
+                turbo["enabled"]
+                and s.synchronous
+                and rti.ncluster == 1
+                and not s.nlives
+                and rti.total_nlive() == s.nlive
+            )
+
+        def _dispatch_any():
+            nonlocal epoch_idx
+            if _turbo_ok():
+                K = turbo["K"]
+                if s.max_ndead > 0:  # do not chain far past the cap
+                    remaining = max(1, s.max_ndead - rti.ndead)
+                    K = max(1, min(K, -(-remaining // B)))
+                live = rti.live[0]
+                epoch_key = jax.random.fold_in(key, 100_000 + epoch_idx)
+                epoch_idx += 1
+                rti.epoch_idx = epoch_idx
+                try:
+                    h = run_epoch.dispatch_chain(
+                        epoch_key, live[:, s.h], live[:, s.l0],
+                        rti.cholesky[0], K, state=turbo["state"],
+                    )
+                    return ("chain", h, rti.epoch)
+                except Exception as e:
+                    import warnings
+
+                    warnings.warn(
+                        f"chained epochs disabled "
+                        f"({type(e).__name__}: {e}); using per-epoch "
+                        f"dispatch",
+                        stacklevel=2,
+                    )
+                    turbo["enabled"] = False
+            return ("single", _dispatch())
+
+        pending = _dispatch_any() if running else None
         while running and failures <= nfail and rti.ncluster > 0:
-            handle, bound, cluster_ids, epoch_at_dispatch = pending
-            with metrics.device_epoch():
-                b_cube, b_theta, b_phi, b_logL, nlike = run_epoch.collect(handle)
-            if not s.synchronous:
-                # async overlap (nested_sampling.F90:288-313): enqueue the
-                # next nursery before consuming this one — device compute
-                # hides behind host bookkeeping, babies up to 2 nurseries
-                # stale
-                pending = _dispatch()
+            if not nursery_queue:
+                if pending[0] == "single":
+                    handle, bound, cluster_ids, epoch_at_dispatch = pending[1]
+                    with metrics.device_epoch():
+                        outs = run_epoch.collect(handle)
+                    nursery_queue.append(
+                        (*outs, bound, cluster_ids, epoch_at_dispatch)
+                    )
+                    turbo["verify"] = None
+                else:
+                    _, handle, epoch_at = pending
+                    with metrics.device_epoch():
+                        nurseries, final_ll, dev_state = (
+                            run_epoch.collect_chain(handle)
+                        )
+                    turbo["state"] = dev_state
+                    zero_ids = np.zeros(B, dtype=int)
+                    for cube_k, th_k, phi_k, logL_k, nl_k, b0 in nurseries:
+                        nursery_queue.append(
+                            (cube_k, th_k, phi_k, logL_k, nl_k,
+                             np.full(B, b0), zero_ids, epoch_at)
+                        )
+                    turbo["verify"] = final_ll
+                if not s.synchronous:
+                    # async overlap (nested_sampling.F90:288-313): enqueue
+                    # the next nursery before consuming this one — device
+                    # compute hides behind host bookkeeping, babies up to 2
+                    # nurseries stale (turbo is gated to synchronous mode)
+                    pending = _dispatch_any()
+            (b_cube, b_theta, b_phi, b_logL, nlike, bound, cluster_ids,
+             epoch_at_dispatch) = nursery_queue.popleft()
             nlike = nlike.sum(axis=0)
             rti.nlike += nlike
             nlikesum += nlike
@@ -568,11 +650,57 @@ def nested_sampling(
                     ids[b:] = identify_clusters_batch(rti, babies[b:, -1])
                 b0 = b
 
-            if s.synchronous and running and failures <= nfail and rti.ncluster > 0:
+            # reorganisation during this nursery: queued chain nurseries
+            # came from a one-cluster device state — discard them (bounded
+            # waste, <= K-1 epochs; the reference's administrator_epoch
+            # discards in-flight babies the same way)
+            if nursery_queue and rti.epoch != epoch_at_dispatch:
+                nursery_queue.clear()
+                turbo["verify"] = None
+                turbo["state"] = None
+
+            if not nursery_queue and turbo["verify"] is not None:
+                # chain fully replayed: the host live set must match the
+                # device's final state exactly (multiset of logL)
+                if (
+                    rti.epoch == epoch_at_dispatch
+                    and rti.ncluster == 1
+                    and running
+                    and failures <= nfail
+                    and rti.total_nlive() == len(turbo["verify"])
+                ):
+                    host_ll = np.sort(
+                        rti.live[0][:, s.l0].astype(np.float32)
+                    )
+                    dev_ll = np.sort(
+                        np.asarray(turbo["verify"], dtype=np.float32)
+                    )
+                    if not np.array_equal(host_ll, dev_ll):
+                        import warnings
+
+                        warnings.warn(
+                            "chained-epoch replay diverged from the device "
+                            "live state; disabling chained epochs for this "
+                            "run",
+                            stacklevel=2,
+                        )
+                        turbo["enabled"] = False
+                        turbo["state"] = None
+                else:
+                    # early exit mid-chain (reorg handled above, or
+                    # termination/failure): device state no longer mirrors
+                    # the host
+                    turbo["state"] = None
+                turbo["verify"] = None
+
+            if (
+                s.synchronous and not nursery_queue
+                and running and failures <= nfail and rti.ncluster > 0
+            ):
                 # synchronous mode (reference default, nested_sampling.F90:
                 # 262-287): seeds drawn from the state as updated by this
-                # nursery; exactly one nursery in flight
-                pending = _dispatch()
+                # nursery; exactly one nursery (or chain) in flight
+                pending = _dispatch_any()
 
         if writer is not None:
             writer.flush()

@@ -288,8 +288,67 @@ def make_epoch_runner(
     def run(key, seed_cube, bound, chol):
         return collect(dispatch(key, seed_cube, bound, chol))
 
+    # ---- chained epochs ("turbo", ops/chained_epoch.py): K epochs + the
+    # live-set consume loop in ONE dispatch — the round-trip-latency cure
+    # for synchronous single-device runs (VERDICT r4 item 4).
+    chain_cache = {}
+
+    def dispatch_chain(key, live_cube, live_logL, chol1, K, state=None):
+        """Enqueue a K-epoch chain (single-device, compact-fetch calcs
+        only).  ``state`` is the previous chain's device-resident
+        (cube, logL) output — when given, the live set is NOT re-uploaded
+        (one small blob is the only host->device transfer).  Raises on
+        build failure — the caller falls back to per-epoch dispatch."""
+        from ..ops.chained_epoch import build_chained_fn, pack_chain_blob
+
+        nlive = live_cube.shape[0]
+        sig = (int(K), int(nlive))
+        if sig not in chain_cache:
+            chain_cache[sig] = build_chained_fn(calc, cfg, B, K, nlive)
+        t0 = _time.time()
+        blob = jnp.asarray(pack_chain_blob(key, chol1))
+        if state is None:
+            lc = jnp.asarray(np.ascontiguousarray(live_cube, dtype=real_dtype()))
+            ll = jnp.asarray(np.ascontiguousarray(live_logL, dtype=real_dtype()))
+        else:
+            lc, ll = state
+        timers["pack"] += _time.time() - t0
+        t0 = _time.time()
+        out = chain_cache[sig](blob, lc, ll)
+        timers["enqueue"] += _time.time() - t0
+        return (*out, int(K), int(nlive))
+
+    def collect_chain(handle):
+        """Block on a chain and unpack its K nurseries.  Returns
+        (nurseries, final_live_logL, device_state): nurseries is a list of
+        (cube, theta, phi, logL, nlike, bound0) per epoch in order;
+        device_state = (final_cube, final_logL) device arrays for the next
+        dispatch_chain."""
+        flat, lc_dev, ll_dev, K, nlive = handle
+        W = R_tot * (stride - D) + tail if compact else R_tot * stride + tail
+        t0 = _time.time()
+        flat = np.asarray(flat)
+        timers["fetch"] += _time.time() - t0
+        packs = flat[: K * B * W].reshape(K, B, W)
+        bounds = flat[K * B * W : K * B * W + K]
+        final_ll = flat[K * B * W + K :]
+        nurseries = []
+        for k in range(K):
+            t0 = _time.time()
+            expanded = expand(packs[k])
+            timers["expand"] += _time.time() - t0
+            t0 = _time.time()
+            cube, theta, phi, logL, nlike = unpack_epoch(expanded, cfg)
+            timers["unpack"] += _time.time() - t0
+            nurseries.append(
+                (cube, theta, phi, logL, nlike, float(bounds[k]))
+            )
+        return nurseries, final_ll, (lc_dev, ll_dev)
+
     run.dispatch = dispatch
     run.collect = collect
+    run.dispatch_chain = dispatch_chain
+    run.collect_chain = collect_chain
     run.engine_used = lambda: engines["name"]
     run.timers = timers
     run.ring_reruns = lambda: engines["ring_reruns"]

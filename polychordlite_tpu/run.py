@@ -96,6 +96,7 @@ def run(loglikelihood, nDims: int, **kwargs):
         "batch_size": -1,
         "mesh_shape": None,
         "engine": "auto",
+        "chain_epochs": -1,
         "precision": "single",
     }
     default_kwargs["grade_frac"] = [1.0] * len(

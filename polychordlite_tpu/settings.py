@@ -75,8 +75,14 @@ class PolyChordSettings:
     # --- TPU-engine extras -------------------------------------------------
     #: chains generated per device epoch (the nursery width; generalises the
     #: reference's synchronous nprocs-1, nested_sampling.F90:262-287).
-    #: <=0 -> auto (max(32, nlive//4) rounded up to a multiple of 8).
+    #: <=0 -> auto (max(32, nlive) rounded up to a multiple of 8).
     batch_size: int = -1
+    #: device epochs chained per dispatch with an on-device live-set
+    #: consume loop (ops/chained_epoch.py) — cuts host<->device round
+    #: trips by K in synchronous mode.  -1 -> auto (8 when eligible:
+    #: synchronous, single device, traced likelihood, one cluster, no
+    #: nlives schedule); 0/1 -> off; >1 -> force K.
+    chain_epochs: int = -1
     #: number of local devices to shard the chain batch over; None -> all.
     mesh_shape: Optional[int] = None
     #: slice engine: "auto" (default — the fused Mosaic kernel on TPU for
