@@ -40,10 +40,13 @@ import numpy as np
 
 
 def _box_prior(lo, hi):
-    import jax.numpy as jnp
-
-    lo = jnp.asarray(lo)
-    hi = jnp.asarray(hi)
+    # numpy constants, NOT jnp device arrays: a traced closure capturing
+    # device arrays cannot lower into the pallas kernel ("captures
+    # constants... pass them as inputs") and would demote the run to the
+    # scan engine — which round 4 did silently; engine observability
+    # (round 5) exposed it
+    lo = np.asarray(lo, dtype=np.float32)
+    hi = np.asarray(hi, dtype=np.float32)
     return lambda cube: lo + (hi - lo) * cube
 
 
@@ -103,6 +106,13 @@ def _run(name, model_name, n_dims, analytic_logZ, out_list, prior=None, **kwargs
         "wall_s": round(wall, 1),
         "dead_per_s": round(out.ndead / wall, 1),
         "evals_per_s": round(out.nlike / wall, 1),
+        # full provenance: the non-default settings this row ran with
+        # (VERDICT r4 item 4: the r4 1468-vs-860 dead/s quickstart spread
+        # was two configs published without their settings)
+        "settings": {
+            k: v for k, v in defaults.items()
+            if k not in ("prior", "base_dir", "file_root")
+        },
     }
     # transport/host attribution from the metrics stream (VERDICT r3 item 4)
     try:
@@ -113,6 +123,10 @@ def _run(name, model_name, n_dims, analytic_logZ, out_list, prior=None, **kwargs
         host_s = sum(sum(r.get("host_breakdown", {}).values()) for r in recs)
         row["device_frac"] = recs[-1]["device_frac"]
         row["host_ms_per_dead"] = round(1e3 * host_s / max(out.ndead, 1), 3)
+        if "engine" in recs[-1]:  # the engine that actually EXECUTED
+            row["engine"] = recs[-1]["engine"]
+        if "epoch_timers" in recs[-1]:
+            row["epoch_timers"] = recs[-1]["epoch_timers"]
     except Exception:
         pass
     print(json.dumps(row), flush=True)

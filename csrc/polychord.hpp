@@ -80,3 +80,43 @@ double default_loglikelihood(double *, int, double *, int);
 void default_prior(double *, double *, int);
 void default_dumper(int, int, int, double *, double *, double *, double,
                     double);
+
+/* Source-compat shims for the reference's USE_MPI overload set
+ * (interfaces.hpp:67-88: the same five signatures with a trailing
+ * `MPI_Comm &comm`).  Parallelism here is the single-controller device
+ * mesh, so the communicator is accepted and IGNORED — but as a template
+ * the shims compile against any MPI implementation's MPI_Comm (pointer
+ * typedefs like OpenMPI's and integer typedefs like MPICH's alike)
+ * without this header depending on <mpi.h>.  Porting a reference C++
+ * driver is zero-diff. */
+template <typename Comm>
+inline void run_polychord(pc_loglikelihood loglikelihood, pc_prior prior,
+                          pc_dumper dumper, Settings s, Comm &comm) {
+    (void)comm;
+    run_polychord(loglikelihood, prior, dumper, s);
+}
+template <typename Comm>
+inline void run_polychord(pc_loglikelihood loglikelihood, pc_dumper dumper,
+                          Settings s, Comm &comm) {
+    (void)comm;
+    run_polychord(loglikelihood, dumper, s);
+}
+template <typename Comm>
+inline void run_polychord(pc_loglikelihood loglikelihood, pc_prior prior,
+                          Settings s, Comm &comm) {
+    (void)comm;
+    run_polychord(loglikelihood, prior, s);
+}
+template <typename Comm>
+inline void run_polychord(pc_loglikelihood loglikelihood, Settings s,
+                          Comm &comm) {
+    (void)comm;
+    run_polychord(loglikelihood, s);
+}
+template <typename Comm>
+inline void run_polychord(pc_loglikelihood loglikelihood,
+                          void (*setup_loglikelihood)(), std::string inifile,
+                          Comm &comm) {
+    (void)comm;
+    run_polychord(loglikelihood, setup_loglikelihood, inifile);
+}

@@ -69,6 +69,10 @@ def is_traceable(fn: Callable, example_shape) -> bool:
         return False
 
 
+_CALC_CACHE = {}
+_CALC_CACHE_MAX = 32
+
+
 def make_batched_calculator(
     prior_fn: Callable,
     loglike_fn: Callable,
@@ -78,7 +82,25 @@ def make_batched_calculator(
     force_callback: bool = False,
 ):
     """Build ``calc(cube_batch) -> (theta, phi, logL)`` with calculate_point
-    semantics, choosing the traced or host-callback path automatically."""
+    semantics, choosing the traced or host-callback path automatically.
+
+    Memoised on the (prior, likelihood, dims, dtype) identity: repeated
+    ``run()`` calls with the same function objects reuse the SAME calc —
+    and therefore every downstream jit cache (engines, chains, theta
+    host-path), avoiding the multi-second per-run retrace+recompile that
+    dominated short runs (round-5 profile).  A fresh closure per call
+    simply misses the cache (no behaviour change)."""
+    try:
+        cache_key = (
+            prior_fn, loglike_fn, n_dims, n_derived, float(logzero),
+            force_callback, real_dtype().__name__
+            if hasattr(real_dtype(), "__name__") else str(real_dtype()),
+        )
+        hash(cache_key)
+    except TypeError:
+        cache_key = None
+    if cache_key is not None and cache_key in _CALC_CACHE:
+        return _CALC_CACHE[cache_key]
 
     n_phi = max(n_derived, 1)  # keep a non-empty trailing axis for TPU layout
 
@@ -284,4 +306,8 @@ def make_batched_calculator(
         calc_point_batch.n_slow = n_slow
         calc_point_batch.slow_aux_batch = slow_aux_batch
         calc_point_batch.fast_point_batch = fast_point_batch
+    if cache_key is not None:
+        if len(_CALC_CACHE) >= _CALC_CACHE_MAX:
+            _CALC_CACHE.pop(next(iter(_CALC_CACHE)))
+        _CALC_CACHE[cache_key] = calc_point_batch
     return calc_point_batch

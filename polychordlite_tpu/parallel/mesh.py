@@ -38,6 +38,20 @@ from ..ops.slice_kernel import (
 )
 
 
+# Cross-run jit caches: runs re-created with the SAME calc object (see
+# make_batched_calculator's memoisation) reuse compiled engines and chains
+# instead of paying a multi-second retrace+recompile per run() call.
+_ENGINE_CACHE = {}
+_CHAIN_CACHE = {}
+_CACHE_MAX = 64
+
+
+def _cache_put(cache, key, value):
+    if len(cache) >= _CACHE_MAX:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
 def make_epoch_runner(
     calc: Callable,
     cfg: EpochConfig,
@@ -162,8 +176,21 @@ def make_epoch_runner(
         engines["name"] = "scan"
         return scan_fallback()
 
+    ekey = (
+        calc, cfg, B, B_phys, n_dev, bool(single_device),
+        None if single_device else tuple(devices), str(real_dtype()),
+    )
+
+    def _cached_engine(kind, builder):
+        k = (kind, ekey)
+        if k not in _ENGINE_CACHE:
+            _cache_put(_ENGINE_CACHE, k, compile_engine(builder()))
+        return _ENGINE_CACHE[k]
+
     try:
-        engines["current"] = compile_engine(build_epoch_fn(calc, cfg, axis_name=axis))
+        engines["current"] = _cached_engine(
+            "primary", lambda: build_epoch_fn(calc, cfg, axis_name=axis)
+        )
     except Exception as e:
         if cfg.engine == "scan":
             raise
@@ -176,8 +203,8 @@ def make_epoch_runner(
             stacklevel=2,
         )
         engines["name"] = "scan"
-        engines["current"] = compile_engine(
-            build_epoch_fn_scan(calc, cfg, axis_name=axis)
+        engines["current"] = _cached_engine(
+            "scan", lambda: build_epoch_fn_scan(calc, cfg, axis_name=axis)
         )
 
     # multi-host (jax.distributed): every process holds the identical full
@@ -206,8 +233,8 @@ def make_epoch_runner(
 
     def scan_fallback():
         if "scan" not in engines:
-            engines["scan"] = compile_engine(
-                build_epoch_fn_scan(calc, cfg, axis_name=axis)
+            engines["scan"] = _cached_engine(
+                "scan", lambda: build_epoch_fn_scan(calc, cfg, axis_name=axis)
             )
         return engines["scan"]
 
@@ -291,8 +318,6 @@ def make_epoch_runner(
     # ---- chained epochs ("turbo", ops/chained_epoch.py): K epochs + the
     # live-set consume loop in ONE dispatch — the round-trip-latency cure
     # for synchronous single-device runs (VERDICT r4 item 4).
-    chain_cache = {}
-
     def dispatch_chain(key, live_cube, live_logL, chol1, K, state=None):
         """Enqueue a K-epoch chain (single-device, compact-fetch calcs
         only).  ``state`` is the previous chain's device-resident
@@ -302,9 +327,12 @@ def make_epoch_runner(
         from ..ops.chained_epoch import build_chained_fn, pack_chain_blob
 
         nlive = live_cube.shape[0]
-        sig = (int(K), int(nlive))
-        if sig not in chain_cache:
-            chain_cache[sig] = build_chained_fn(calc, cfg, B, K, nlive)
+        sig = (calc, cfg, B, int(K), int(nlive), str(real_dtype()))
+        if sig not in _CHAIN_CACHE:
+            _cache_put(
+                _CHAIN_CACHE, sig, build_chained_fn(calc, cfg, B, K, nlive)
+            )
+        fn = _CHAIN_CACHE[sig]
         t0 = _time.time()
         blob = jnp.asarray(pack_chain_blob(key, chol1))
         if state is None:
@@ -314,7 +342,7 @@ def make_epoch_runner(
             lc, ll = state
         timers["pack"] += _time.time() - t0
         t0 = _time.time()
-        out = chain_cache[sig](blob, lc, ll)
+        out = fn(blob, lc, ll)
         timers["enqueue"] += _time.time() - t0
         return (*out, int(K), int(nlive))
 

@@ -209,3 +209,45 @@ def test_c_interface_ini(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "SETUP 1" in out.stdout
     assert (chains / "capini.stats").exists()
+
+
+def test_comm_shim_overloads_compile(tmp_path):
+    """Source-compat: the reference's USE_MPI overload set
+    (interfaces.hpp:67-88, trailing `MPI_Comm &comm`) must compile
+    zero-diff against BOTH MPI_Comm styles — pointer typedefs (OpenMPI)
+    and integer typedefs (MPICH) — via the template shims in
+    csrc/polychord.hpp.  Compile-only (syntax + overload resolution)."""
+    src = tmp_path / "comm_shim.cpp"
+    src.write_text(
+        r"""
+#include "polychord.hpp"
+struct fake_ompi_comm_t {};                 // OpenMPI style: a pointer
+typedef fake_ompi_comm_t *PtrComm;
+typedef int IntComm;                        // MPICH style: an int
+static double lik(double *, int, double *, int) { return 0.0; }
+static void pri(double *c, double *t, int n) { for (int i=0;i<n;i++) t[i]=c[i]; }
+static void dmp(int, int, int, double *, double *, double *, double, double) {}
+static void setup() {}
+template <typename C> void call_all(C &comm) {
+    Settings s(2, 0);
+    run_polychord(lik, pri, dmp, s, comm);
+    run_polychord(lik, dmp, s, comm);
+    run_polychord(lik, pri, s, comm);
+    run_polychord(lik, s, comm);
+    run_polychord(lik, setup, std::string("x.ini"), comm);
+}
+int main() {
+    PtrComm pc = nullptr; IntComm ic = 42;
+    if (false) { call_all(pc); call_all(ic); }   // compile-only
+    return 0;
+}
+"""
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        ["g++", "-fsyntax-only", "-I", os.path.join(repo, "csrc"),
+         str(src)],
+        check=True,
+        capture_output=True,
+        timeout=120,
+    )
