@@ -40,14 +40,13 @@ import numpy as np
 
 
 def _box_prior(lo, hi):
-    # numpy constants, NOT jnp device arrays: a traced closure capturing
-    # device arrays cannot lower into the pallas kernel ("captures
-    # constants... pass them as inputs") and would demote the run to the
-    # scan engine — which round 4 did silently; engine observability
-    # (round 5) exposed it
-    lo = np.asarray(lo, dtype=np.float32)
-    hi = np.asarray(hi, dtype=np.float32)
-    return lambda cube: lo + (hi - lo) * cube
+    # UniformPrior unrolls vector bounds to per-coordinate python-float
+    # literals so the transform lowers INSIDE the pallas kernel (array
+    # constants would demote the run to the scan engine — which round 4
+    # did silently; engine observability exposed it in round 5)
+    from polychordlite_tpu.priors import UniformPrior
+
+    return UniformPrior(lo, hi)
 
 
 def _run(name, model_name, n_dims, analytic_logZ, out_list, prior=None, **kwargs):

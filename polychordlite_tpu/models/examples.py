@@ -157,7 +157,13 @@ def eggbox(n_dims: int):
     """eggbox.f90: -(2 + prod cos(theta_i/2))^5."""
 
     def loglikelihood(theta):
-        return -((2.0 + jnp.prod(jnp.cos(theta / 2.0), axis=0)) ** 5)
+        # static unrolled product: jnp.prod (reduce_prod) has no Pallas TPU
+        # lowering and would demote the run to the scan engine
+        c = jnp.cos(theta / 2.0)
+        p = c[0]
+        for i in range(1, n_dims):
+            p = p * c[i]
+        return -((2.0 + p) ** 5)
 
     return loglikelihood
 
@@ -194,15 +200,15 @@ def gaussian_shells(n_dims: int, radius: float = 2.0, sigma: float = 0.1):
     """gaussian_shells.f90:11-58 — the canonical bimodal clustering oracle:
     two equal shells centred at x_1 = ∓3.5, each with local evidence Z/2."""
     A = _shell_norm(n_dims, radius, sigma)
-    mu1 = np.zeros(n_dims)
-    mu1[0] = -3.5
-    mu2 = np.zeros(n_dims)
-    mu2[0] = +3.5
-    mu1_j, mu2_j = jnp.asarray(mu1), jnp.asarray(mu2)
 
     def loglikelihood(theta):
-        r1 = jnp.sqrt(jnp.sum((theta - _bc(mu1_j, theta)) ** 2, axis=0))
-        r2 = jnp.sqrt(jnp.sum((theta - _bc(mu2_j, theta)) ** 2, axis=0))
+        # centres expressed in per-coordinate scalar arithmetic (axis 0 =
+        # parameters): captured mu ARRAYS would become jaxpr constants,
+        # which pallas_call rejects — the shells row silently ran the scan
+        # engine until round 5's observability exposed it
+        rest = jnp.sum(theta[1:] ** 2, axis=0)
+        r1 = jnp.sqrt((theta[0] + 3.5) ** 2 + rest)
+        r2 = jnp.sqrt((theta[0] - 3.5) ** 2 + rest)
         l1 = -A - (r1 - radius) ** 2 / (2.0 * sigma * sigma)
         l2 = -A - (r2 - radius) ** 2 / (2.0 * sigma * sigma)
         return jnp.logaddexp(l1, l2) - math.log(2.0)

@@ -29,12 +29,43 @@ from jax.scipy.special import erfinv, ndtri
 # ---------------------------------------------------------------------------
 
 
+def _coord_params(*vals):
+    """If any parameter is a vector, return a list of per-coordinate PYTHON
+    float tuples (broadcasting scalars); else None.
+
+    Per-coordinate scalars matter beyond convenience: python floats inline
+    as literals when the prior is traced INSIDE the Pallas slice kernel,
+    while array parameters (numpy or jnp) become jaxpr closure constants,
+    which ``pallas_call`` rejects ("captures constants ... pass them as
+    inputs") — demoting the run to the scan engine.  Vector-parameter
+    priors therefore unroll to per-coordinate literal arithmetic (the
+    parameter axis is axis 0, the tile convention of models/examples.py)."""
+    arrs = [np.atleast_1d(np.asarray(v, dtype=np.float64)) for v in vals]
+    n = max(a.size for a in arrs)
+    if n == 1:
+        return None
+    cols = []
+    for a in arrs:
+        if a.size == 1:
+            cols.append([float(a[0])] * n)
+        elif a.size == n:
+            cols.append([float(x) for x in a])
+        else:
+            raise ValueError("prior parameter lengths do not broadcast")
+    return list(zip(*cols))
+
+
 class UniformPrior:
     def __init__(self, a, b):
         self.a = a
         self.b = b
+        self._coords = _coord_params(a, b)
 
     def __call__(self, x):
+        if self._coords is not None:
+            return jnp.stack(
+                [a + (b - a) * x[i] for i, (a, b) in enumerate(self._coords)]
+            )
         return self.a + (self.b - self.a) * x
 
 
@@ -42,13 +73,25 @@ class GaussianPrior:
     def __init__(self, mu, sigma):
         self.mu = mu
         self.sigma = sigma
+        self._coords = _coord_params(mu, sigma)
 
     def __call__(self, x):
+        if self._coords is not None:
+            return jnp.stack(
+                [
+                    m + s * jnp.sqrt(2.0) * erfinv(2 * x[i] - 1)
+                    for i, (m, s) in enumerate(self._coords)
+                ]
+            )
         return self.mu + self.sigma * jnp.sqrt(2.0) * erfinv(2 * x - 1)
 
 
 class LogUniformPrior(UniformPrior):
     def __call__(self, x):
+        if self._coords is not None:
+            return jnp.stack(
+                [a * (b / a) ** x[i] for i, (a, b) in enumerate(self._coords)]
+            )
         return self.a * (self.b / self.a) ** x
 
 
