@@ -91,7 +91,17 @@ def _relabel(labels: np.ndarray) -> np.ndarray:
 
 def nn_clustering(sim: np.ndarray) -> np.ndarray:
     """Full recursive mutual-KNN clustering of a similarity matrix
-    (NN_clustering, clustering.f90:15-97). Returns 0-based labels."""
+    (NN_clustering, clustering.f90:15-97). Returns 0-based labels.
+
+    The sweep runs k = 2..min(n, 10) EXACTLY like the reference: its
+    ``do n=2,k`` loop fixes the trip count at entry (F90 semantics), so
+    the in-loop k-doubling never extends the sweep (see
+    tests/clustering_oracle.py).  An earlier round implemented the
+    doubling as (apparently) intended — on thin-shell geometries deep in
+    compression the partition never stabilises and that variant ground an
+    O(n) sweep of union-find passes per call (minutes per e-fold on the
+    shells benchmark); the reference-exact cap is also what the
+    partition-identity tests certify."""
     n = sim.shape[0]
     if n <= 2:
         return np.zeros(n, dtype=int)
@@ -101,21 +111,14 @@ def nn_clustering(sim: np.ndarray) -> np.ndarray:
     labels_old = np.arange(n)
     labels = np.zeros(n, dtype=int)
 
-    kk = 2
-    while kk <= k:
+    for kk in range(2, k + 1):
         labels = _cluster_with_k(knn[:, :kk])
         num = labels.max() + 1
         if num == 1:
             return labels
         if np.array_equal(labels, labels_old):
             break
-        if kk == k:
-            if k == n:
-                break
-            k = min(k * 2, n)
-            knn = _knn_indices(sim, k)
         labels_old = labels
-        kk += 1
 
     # recurse into each found sub-cluster (:80-95)
     num = labels.max() + 1

@@ -638,7 +638,14 @@ def add_cluster(
         return [lst[q] for q in old_idx] + [new_value_fn(k) for k in range(num_new)]
 
     rti.live = reorder(rti.live, lambda k: old_live[cluster_list == k])
-    rti.phantom = reorder(rti.phantom, lambda k: RowStore(s.nTotal))
+    # EVERY phantom store starts empty: the reference zeroes nphantom for
+    # ALL clusters and reassigns every old phantom exactly once
+    # (run_time_info.f90:445-451).  Keeping survivors' stores and then
+    # re-extending from all_old_phantoms duplicated the survivors'
+    # phantoms on every split — compounding to millions of phantoms on
+    # fragmenting geometries (shells benchmark: nphantom hit 1.1e8) and
+    # skewing the n_i volume-split proportions below.
+    rti.phantom = [RowStore(s.nTotal) for _ in range(n_total)]
     rti.posterior_stack = reorder(
         rti.posterior_stack, lambda k: RowStore(s.nposterior)
     )

@@ -89,6 +89,40 @@ class TestPriors:
         p = priors.GaussianPrior(3.0, 2.0)
         assert np.isclose(float(p(jnp.array(0.5))), 3.0, atol=1e-6)
 
+    def test_vector_bounds_unroll_to_literals(self):
+        """Vector-parameter priors must carry NO array constants (array
+        closure constants cannot lower into the pallas kernel and silently
+        demoted round-4 benchmark rows to the scan engine) and must match
+        per-coordinate arithmetic on both (D,) and tile (D, ...) inputs."""
+        p = priors.UniformPrior([-6.0, -2.5], [6.0, 2.5])
+        x = np.array([0.5, 1.0])
+        assert np.allclose(np.asarray(p(x)), [0.0, 2.5])
+        tile = np.full((2, 3, 4), 0.5)
+        out = np.asarray(p(tile))
+        assert out.shape == (2, 3, 4)
+        assert np.allclose(out[0], 0.0) and np.allclose(out[1], 0.0)
+        # closure constants: tracing must produce a jaxpr with no consts
+        import jax
+
+        jaxpr = jax.make_jaxpr(p)(jnp.zeros(2))
+        assert not jaxpr.consts, jaxpr.consts
+
+        g = priors.GaussianPrior([0.0, 1.0], [1.0, 2.0])
+        v = np.asarray(g(np.array([0.5, 0.5])))
+        assert np.allclose(v, [0.0, 1.0], atol=1e-5)
+        assert not jax.make_jaxpr(g)(jnp.zeros(2)).consts
+
+        lu = priors.LogUniformPrior([1.0, 10.0], [100.0, 1000.0])
+        v = np.asarray(lu(np.array([0.5, 0.5])))
+        assert np.allclose(v, [10.0, 100.0], rtol=1e-5)
+        assert not jax.make_jaxpr(lu)(jnp.zeros(2)).consts
+
+    def test_vector_bounds_broadcast_scalar(self):
+        p = priors.UniformPrior(0.0, [1.0, 2.0])
+        assert np.allclose(np.asarray(p(np.array([0.5, 0.5]))), [0.5, 1.0])
+        with pytest.raises(ValueError):
+            priors.UniformPrior([0.0, 1.0], [1.0, 2.0, 3.0])
+
     def test_forced_identifiability_sorted(self):
         rng = np.random.default_rng(2)
         x = rng.uniform(size=20)
