@@ -169,6 +169,9 @@ def quickstart_accuracy():
             [r2],
         )
 
+    # full-length warm-up with IDENTICAL settings: a capped warm run would
+    # clamp the chained-epoch length K and leave the timed run's K=8 chain
+    # uncompiled (its compile then lands in the timed wall)
     polychordlite_tpu.run(
         likelihood,
         4,
@@ -182,7 +185,6 @@ def quickstart_accuracy():
         seed=42,
         feedback=0,
         batch_size=192,
-        max_ndead=400,
     )
 
     t0 = time.perf_counter()

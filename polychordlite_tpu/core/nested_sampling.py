@@ -432,12 +432,17 @@ def nested_sampling(
                 and engine != "ring"
                 and getattr(calc, "theta_batch_host", None) is not None
             ) else 0
+        # cooldown: after a reorganisation discards a chain, fall back to
+        # per-epoch dispatch for a few e-folds — actively-fragmenting runs
+        # (eggbox/shells) otherwise thrash chains that splits keep
+        # discarding, paying K epochs of device work per accepted nursery
         turbo = {"enabled": turbo_K > 1, "K": turbo_K, "verify": None,
-                 "state": None}  # device-resident (cube, logL) handoff
+                 "cooldown": 0}
 
         def _turbo_ok():
             return (
                 turbo["enabled"]
+                and turbo["cooldown"] == 0
                 and s.synchronous
                 and rti.ncluster == 1
                 and not s.nlives
@@ -458,7 +463,7 @@ def nested_sampling(
                 try:
                     h = run_epoch.dispatch_chain(
                         epoch_key, live[:, s.h], live[:, s.l0],
-                        rti.cholesky[0], K, state=turbo["state"],
+                        rti.cholesky[0], K,
                     )
                     return ("chain", h, rti.epoch)
                 except Exception as e:
@@ -487,10 +492,7 @@ def nested_sampling(
                 else:
                     _, handle, epoch_at = pending
                     with metrics.device_epoch():
-                        nurseries, final_ll, dev_state = (
-                            run_epoch.collect_chain(handle)
-                        )
-                    turbo["state"] = dev_state
+                        nurseries, final_ll = run_epoch.collect_chain(handle)
                     zero_ids = np.zeros(B, dtype=int)
                     for cube_k, th_k, phi_k, logL_k, nl_k, b0 in nurseries:
                         nursery_queue.append(
@@ -590,6 +592,8 @@ def nested_sampling(
                         <= rti.logX_last_update + math.log(s.compression_factor)
                     )
                     if update:
+                        if turbo["cooldown"] > 0:
+                            turbo["cooldown"] -= 1
                         rti.logX_last_update = lse_logXp
                         with metrics.phase("posteriors"):
                             update_posteriors(rti)
@@ -657,7 +661,7 @@ def nested_sampling(
             if nursery_queue and rti.epoch != epoch_at_dispatch:
                 nursery_queue.clear()
                 turbo["verify"] = None
-                turbo["state"] = None
+                turbo["cooldown"] = 4  # e-folds of per-epoch dispatch
 
             if not nursery_queue and turbo["verify"] is not None:
                 # chain fully replayed: the host live set must match the
@@ -685,12 +689,6 @@ def nested_sampling(
                             stacklevel=2,
                         )
                         turbo["enabled"] = False
-                        turbo["state"] = None
-                else:
-                    # early exit mid-chain (reorg handled above, or
-                    # termination/failure): device state no longer mirrors
-                    # the host
-                    turbo["state"] = None
                 turbo["verify"] = None
 
             if (

@@ -62,20 +62,15 @@ def build_chained_fn(
     Transfer discipline (each host<->device transfer pays the full tunnel
     latency — measured ~45-270 ms per ARRAY, independent of size):
 
-    * upload: ONE small f32 blob per chain = [key as 4 exact-integer
-      half-words, chol (D*D)] (bit-exact: each half-word <= 65535 is
-      exactly representable in f32 — a raw bitcast could hit NaN
-      payloads that transfers may canonicalize);
-      the live state rides as device-resident arrays (the previous chain's
-      un-fetched outputs), so steady-state chains upload exactly one array;
+    * upload: ONE f32 blob per chain = [key as 4 exact-integer half-words
+      (bit-exact: each half-word <= 65535 is exactly representable in f32 —
+      a raw bitcast could hit NaN payloads that transfers may
+      canonicalize), chol (D*D), live_cube (nlive*D), live_logL (nlive)];
     * fetch: ONE flat f32 buffer = [packs | bounds | final_live_logL].
 
-    ``fn(blob, live_cube (nlive, D), live_logL (nlive,)) ->
-    (flat, final_cube_dev, final_logL_dev)`` where ``flat`` =
-    ``K*B_log*W + K + nlive`` floats, W = R*(stride-D) + tail (the COMPACT
-    record layout: theta columns dropped on device, re-derived host-side
-    by ``calc.theta_batch_host``).  The second and third outputs are meant
-    to stay on device and be fed to the next chain.
+    ``fn(blob) -> flat`` where ``flat`` = ``K*B_log*W + K + nlive`` floats,
+    W = R*(stride-D) + tail (the COMPACT record layout: theta columns
+    dropped on device, re-derived host-side by ``calc.theta_batch_host``).
 
     Sequential-consume correctness: replace-min with babies processed in
     order maintains the invariant that the live set equals the nlive
@@ -99,15 +94,18 @@ def build_chained_fn(
     raw = build_epoch_fn(calc, cfg, axis_name=None)
 
     @jax.jit
-    def fn(blob, live_cube, live_logL):
+    def fn(blob):
         dt = real_dtype()
         hw = blob[:4].astype(jnp.uint32)  # [k0_hi, k0_lo, k1_hi, k1_lo]
         key = jnp.stack(
             [hw[0] * 65536 + hw[1], hw[2] * 65536 + hw[3]]
         ).astype(jnp.uint32)
-        chol = blob[4 : 4 + D * D].astype(dt).reshape(D, D)
-        live_cube = live_cube.astype(dt)
-        live_logL = live_logL.astype(dt)
+        o = 4
+        chol = blob[o : o + D * D].astype(dt).reshape(D, D)
+        o += D * D
+        live_cube = blob[o : o + nlive * D].astype(dt).reshape(nlive, D)
+        o += nlive * D
+        live_logL = blob[o : o + nlive].astype(dt)
         chol_b = jnp.broadcast_to(chol, (B_phys, D, D))
         valid = jnp.arange(B_phys) < B_log
 
@@ -151,15 +149,14 @@ def build_chained_fn(
         (lc, ll), (packs, bounds) = jax.lax.scan(
             epoch_body, (live_cube, live_logL), jnp.arange(K)
         )
-        flat = jnp.concatenate(
+        return jnp.concatenate(
             [packs.reshape(-1), bounds.astype(dt), ll]
         )
-        return flat, lc, ll
 
     return fn
 
 
-def pack_chain_blob(key, chol) -> "np.ndarray":
+def pack_chain_blob(key, chol, live_cube, live_logL) -> "np.ndarray":
     """Host-side: the single per-chain upload buffer (see fn docstring)."""
     import numpy as np
 
@@ -169,5 +166,10 @@ def pack_chain_blob(key, chol) -> "np.ndarray":
         dtype=np.float32,
     )
     return np.concatenate(
-        [hw, np.asarray(chol, dtype=np.float32).ravel()]
+        [
+            hw,
+            np.asarray(chol, dtype=np.float32).ravel(),
+            np.asarray(live_cube, dtype=np.float32).ravel(),
+            np.asarray(live_logL, dtype=np.float32).ravel(),
+        ]
     ).astype(np.float32)

@@ -318,12 +318,10 @@ def make_epoch_runner(
     # ---- chained epochs ("turbo", ops/chained_epoch.py): K epochs + the
     # live-set consume loop in ONE dispatch — the round-trip-latency cure
     # for synchronous single-device runs (VERDICT r4 item 4).
-    def dispatch_chain(key, live_cube, live_logL, chol1, K, state=None):
+    def dispatch_chain(key, live_cube, live_logL, chol1, K):
         """Enqueue a K-epoch chain (single-device, compact-fetch calcs
-        only).  ``state`` is the previous chain's device-resident
-        (cube, logL) output — when given, the live set is NOT re-uploaded
-        (one small blob is the only host->device transfer).  Raises on
-        build failure — the caller falls back to per-epoch dispatch."""
+        only): ONE packed upload, async dispatch.  Raises on build
+        failure — the caller falls back to per-epoch dispatch."""
         from ..ops.chained_epoch import build_chained_fn, pack_chain_blob
 
         nlive = live_cube.shape[0]
@@ -334,25 +332,18 @@ def make_epoch_runner(
             )
         fn = _CHAIN_CACHE[sig]
         t0 = _time.time()
-        blob = jnp.asarray(pack_chain_blob(key, chol1))
-        if state is None:
-            lc = jnp.asarray(np.ascontiguousarray(live_cube, dtype=real_dtype()))
-            ll = jnp.asarray(np.ascontiguousarray(live_logL, dtype=real_dtype()))
-        else:
-            lc, ll = state
+        blob = jnp.asarray(pack_chain_blob(key, chol1, live_cube, live_logL))
         timers["pack"] += _time.time() - t0
         t0 = _time.time()
-        out = fn(blob, lc, ll)
+        flat = fn(blob)
         timers["enqueue"] += _time.time() - t0
-        return (*out, int(K), int(nlive))
+        return (flat, int(K), int(nlive))
 
     def collect_chain(handle):
         """Block on a chain and unpack its K nurseries.  Returns
-        (nurseries, final_live_logL, device_state): nurseries is a list of
-        (cube, theta, phi, logL, nlike, bound0) per epoch in order;
-        device_state = (final_cube, final_logL) device arrays for the next
-        dispatch_chain."""
-        flat, lc_dev, ll_dev, K, nlive = handle
+        (nurseries, final_live_logL): nurseries is a list of
+        (cube, theta, phi, logL, nlike, bound0) per epoch in order."""
+        flat, K, nlive = handle
         W = R_tot * (stride - D) + tail if compact else R_tot * stride + tail
         t0 = _time.time()
         flat = np.asarray(flat)
@@ -371,7 +362,7 @@ def make_epoch_runner(
             nurseries.append(
                 (cube, theta, phi, logL, nlike, float(bounds[k]))
             )
-        return nurseries, final_ll, (lc_dev, ll_dev)
+        return nurseries, final_ll
 
     run.dispatch = dispatch
     run.collect = collect

@@ -95,11 +95,11 @@ class TestTurbo:
             inner = run.collect_chain
 
             def corrupting(handle):
-                nurseries, final_ll, state = inner(handle)
+                nurseries, final_ll = inner(handle)
                 final_ll = np.asarray(final_ll).copy()
                 if final_ll.size:
                     final_ll[0] += 1.0  # no longer matches the replay
-                return nurseries, final_ll, state
+                return nurseries, final_ll
 
             run.collect_chain = corrupting
             return run, B
