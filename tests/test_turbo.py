@@ -136,3 +136,18 @@ class TestTurbo:
         # sampling stops exactly at the cap; the final drain then retires
         # the nlive=100 remaining live points (nested_sampling.F90:381-384)
         assert out.ndead == 150 + 100
+
+
+def test_resume_continues_under_turbo(tmp_path):
+    """Checkpoint/resume with the chained path engaged: a run stopped at
+    max_ndead resumes from its checkpoint and completes accurately (the
+    device RNG stream continues from the checkpointed epoch_idx)."""
+    out1 = run_turbo(
+        tmp_path, write_resume=True, read_resume=True, max_ndead=400,
+    )
+    assert out1.ndead == 400 + 100
+    out2 = run_turbo(
+        tmp_path, write_resume=True, read_resume=True,
+    )
+    assert out2.ndead > 600
+    assert abs(out2.logZ - ANALYTIC) < 3 * out2.logZerr + 0.25
