@@ -2,6 +2,11 @@
 spherical Gaussian, sigma = 0.1, one derived parameter (r^2), uniform prior
 on [-1, 1]^4.  Analytic answer: logZ = -4 log 2 = -2.7726."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax.numpy as jnp
 
 import polychordlite_tpu
